@@ -1,0 +1,102 @@
+"""TagDetector: the end-to-end batched detection pipeline.
+
+Capability parity with the reference TagDetector.detect
+(tag_detector.py:23-28: grayscale -> C-library detect -> detections sorted by
+id) — but batched over frames and fully on-device: threshold -> connected
+components -> boundary clustering -> quad fit -> decode, all inside one jit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+
+from ..families import TagFamily, get_family
+from .threshold import to_grayscale, decimate, adaptive_threshold
+from .segment import connected_components
+from .quads import quad_candidates
+from .decode import decode_quads, Detections, FamilyTensors
+
+
+@dataclass(frozen=True)
+class DetectorParams:
+    """Static pipeline configuration (fixed at trace time)."""
+
+    quad_decimate: int = 2
+    tile: int = 4
+    min_contrast: float = 0.08
+    scan_iters: int = 4
+    jump_iters: int = 2
+    max_clusters: int = 256
+    max_quads: int = 48
+    pts_per_quad: int = 256
+    min_cluster_pts: int = 20
+    min_side: float = 3.0
+    refine_iters: int = 2
+    max_fit_err: float = 0.8
+    max_hamming: int = 3
+    min_level_contrast: float = 0.06
+    max_detections: int = 32
+
+
+def detect_fn(family: str | TagFamily = "tagStandard41h12",
+              params: DetectorParams | None = None):
+    """Build the detection function ``f(frames) -> Detections``.
+
+    All family constants are baked in as jit constants; the returned function
+    is jit-compatible and composes into larger jitted pipelines (e.g. the
+    full render->detect->SLAM step).
+    """
+    fam = get_family(family) if isinstance(family, str) else family
+    ft = FamilyTensors(fam)
+    p = params or DetectorParams()
+
+    def run(frames: jax.Array) -> Detections:
+        gray = to_grayscale(frames)
+        dec = decimate(gray, p.quad_decimate)
+        trinary = adaptive_threshold(dec, tile=p.tile, min_contrast=p.min_contrast)
+        labels = connected_components(trinary, p.scan_iters, p.jump_iters)
+        quads = quad_candidates(
+            trinary,
+            labels,
+            dec,
+            p.quad_decimate,
+            max_clusters=p.max_clusters,
+            max_quads=p.max_quads,
+            pts_per_quad=p.pts_per_quad,
+            min_cluster_pts=p.min_cluster_pts,
+            min_side=p.min_side,
+            refine_iters=p.refine_iters,
+            max_fit_err=p.max_fit_err,
+        )
+        return decode_quads(
+            gray,
+            quads,
+            ft,
+            max_hamming=p.max_hamming,
+            min_level_contrast=p.min_level_contrast,
+            max_detections=p.max_detections,
+        )
+
+    return run
+
+
+class TagDetector:
+    """Batched AprilTag detector for a single family.
+
+    Usage::
+
+        det = TagDetector("tagStandard41h12")
+        detections = det.detect(frames)   # frames (B, H, W) or (B, H, W, 3)
+    """
+
+    def __init__(self, family: str | TagFamily = "tagStandard41h12",
+                 params: DetectorParams | None = None):
+        self.family = get_family(family) if isinstance(family, str) else family
+        self.params = params or DetectorParams()
+        self._fn = jax.jit(detect_fn(self.family, self.params))
+
+    def detect(self, frames) -> Detections:
+        """(B, H, W[, 3]) frames -> Detections sorted by id per frame."""
+        return self._fn(frames)

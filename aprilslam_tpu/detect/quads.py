@@ -1,0 +1,254 @@
+"""Quad extraction: boundary clustering + corner fitting (detector stage 3).
+
+The C library walks black/white component boundaries with a hash map keyed by
+(black id, white id), then splits each cluster into 4 line segments via a
+sequential angular sweep. The TPU formulation replaces both data structures:
+
+* **Clustering = sort.** Every black/white neighbouring pixel pair emits a
+  boundary point keyed by its (black label, white label) pair; a batched
+  lexicographic sort groups the points of each physical quad contiguously,
+  and segment reductions produce per-cluster statistics. No hash map, fully
+  batched over frames.
+* **Corner finding = extremal geometry.** For a convex quad, the farthest
+  point from the centroid, the farthest point from it, and the two extreme
+  points off their diagonal are the 4 corners. Two rounds of
+  assign-points-to-sides (by angle interval) + weighted total-least-squares
+  line fits + line intersections give subpixel corners — fixed iteration
+  count, pure matmul/VPU work.
+
+Corners are returned in a consistent cyclic order (descending angle around
+the centroid = the reference's lb->rb->rt->lt winding, tag_detector.py:32-38);
+the decode stage resolves which corner is 'lb'.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_BIG = jnp.int32(2**30)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["corners", "valid", "fit_err", "cluster_size"],
+    meta_fields=[],
+)
+@dataclass(frozen=True)
+class QuadCandidates:
+    corners: jax.Array  # (B, Q, 4, 2) full-res pixel coords, cyclic order
+    valid: jax.Array  # (B, Q) bool
+    fit_err: jax.Array  # (B, Q) rms line-fit residual (decimated px)
+    cluster_size: jax.Array  # (B, Q) boundary point count
+
+
+def _emit_boundaries(trinary: jax.Array, labels: jax.Array, gray: jax.Array):
+    """Per frame: boundary points between black and white components.
+
+    Returns (key_black, key_white, x, y, w) flat arrays of length 2*H*W
+    (padded; invalid entries keyed _BIG).
+    """
+    B, H, W = trinary.shape
+
+    def pairs(c0, c1, l0, l1, g0, g1, x, y):
+        boundary = (c0 >= 0) & (c1 >= 0) & (c0 != c1)
+        black = jnp.where(c0 == 0, l0, l1)
+        white = jnp.where(c0 == 0, l1, l0)
+        ka = jnp.where(boundary, black, _BIG)
+        kb = jnp.where(boundary, white, _BIG)
+        w = jnp.where(boundary, jnp.abs(g0 - g1), 0.0)
+        return ka, kb, x, y, w
+
+    # Right neighbours: boundary at (col+1, row+0.5) in continuous coords.
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W - 1), 1) + 1.0
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W - 1), 0) + 0.5
+    ka_r, kb_r, x_r, y_r, w_r = pairs(
+        trinary[:, :, :-1], trinary[:, :, 1:],
+        labels[:, :, :-1], labels[:, :, 1:],
+        gray[:, :, :-1], gray[:, :, 1:],
+        jnp.broadcast_to(xs, (B, H, W - 1)), jnp.broadcast_to(ys, (B, H, W - 1)),
+    )
+    # Down neighbours: boundary at (col+0.5, row+1).
+    xd = jax.lax.broadcasted_iota(jnp.float32, (H - 1, W), 1) + 0.5
+    yd = jax.lax.broadcasted_iota(jnp.float32, (H - 1, W), 0) + 1.0
+    ka_d, kb_d, x_d, y_d, w_d = pairs(
+        trinary[:, :-1, :], trinary[:, 1:, :],
+        labels[:, :-1, :], labels[:, 1:, :],
+        gray[:, :-1, :], gray[:, 1:, :],
+        jnp.broadcast_to(xd, (B, H - 1, W)), jnp.broadcast_to(yd, (B, H - 1, W)),
+    )
+
+    def flat(a, fill):
+        return a.reshape(B, -1)
+
+    ka = jnp.concatenate([ka_r.reshape(B, -1), ka_d.reshape(B, -1)], axis=1)
+    kb = jnp.concatenate([kb_r.reshape(B, -1), kb_d.reshape(B, -1)], axis=1)
+    x = jnp.concatenate([x_r.reshape(B, -1), x_d.reshape(B, -1)], axis=1)
+    y = jnp.concatenate([y_r.reshape(B, -1), y_d.reshape(B, -1)], axis=1)
+    w = jnp.concatenate([w_r.reshape(B, -1), w_d.reshape(B, -1)], axis=1)
+    return ka, kb, x, y, w
+
+
+def _cluster(ka, kb, x, y, w, max_clusters: int):
+    """Sort by (black, white) key pair and compute per-cluster stats.
+
+    All inputs (N,) for one frame. Returns sorted point arrays plus per-
+    cluster (count, start, bbox) over max_clusters slots.
+    """
+    n = ka.shape[0]
+    ka_s, kb_s, x_s, y_s, w_s = jax.lax.sort((ka, kb, x, y, w), num_keys=2, is_stable=False)
+    valid = ka_s < _BIG
+    new_seg = jnp.ones((n,), dtype=bool)
+    new_seg = new_seg.at[1:].set((ka_s[1:] != ka_s[:-1]) | (kb_s[1:] != kb_s[:-1]))
+    seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
+    seg_id = jnp.where(valid, jnp.minimum(seg_id, max_clusters), max_clusters)
+
+    ns = max_clusters + 1
+    ones = valid.astype(jnp.float32)
+    count = jax.ops.segment_sum(ones, seg_id, num_segments=ns)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    start = jax.ops.segment_min(jnp.where(valid, pos, n), seg_id, num_segments=ns)
+    xmin = jax.ops.segment_min(jnp.where(valid, x_s, jnp.inf), seg_id, num_segments=ns)
+    xmax = jax.ops.segment_max(jnp.where(valid, x_s, -jnp.inf), seg_id, num_segments=ns)
+    ymin = jax.ops.segment_min(jnp.where(valid, y_s, jnp.inf), seg_id, num_segments=ns)
+    ymax = jax.ops.segment_max(jnp.where(valid, y_s, -jnp.inf), seg_id, num_segments=ns)
+    return (x_s, y_s, w_s), dict(
+        count=count[:max_clusters],
+        start=start[:max_clusters],
+        xmin=xmin[:max_clusters],
+        xmax=xmax[:max_clusters],
+        ymin=ymin[:max_clusters],
+        ymax=ymax[:max_clusters],
+    )
+
+
+def _fit_quad(pts: jax.Array, w: jax.Array, refine_iters: int):
+    """Fit 4 corners to one cluster's boundary points.
+
+    pts (P, 2), w (P,) weights (0 for padding). Returns (corners (4, 2) in
+    descending-angle cyclic order, rms residual).
+    """
+    wsum = jnp.sum(w) + 1e-9
+    c = jnp.sum(pts * w[:, None], axis=0) / wsum
+
+    live = w > 0
+    d2 = jnp.where(live, jnp.sum((pts - c) ** 2, axis=-1), -1.0)
+    p1 = pts[jnp.argmax(d2)]
+    d2b = jnp.where(live, jnp.sum((pts - p1) ** 2, axis=-1), -1.0)
+    p2 = pts[jnp.argmax(d2b)]
+    diag = p2 - p1
+    nrm = jnp.stack([-diag[1], diag[0]])
+    nrm = nrm / (jnp.linalg.norm(nrm) + 1e-9)
+    s = jnp.sum((pts - p1) * nrm, axis=-1)
+    p3 = pts[jnp.argmax(jnp.where(live, s, -jnp.inf))]
+    p4 = pts[jnp.argmax(jnp.where(live, -s, -jnp.inf))]
+
+    corners = jnp.stack([p1, p2, p3, p4])
+    ang = jnp.arctan2(corners[:, 1] - c[1], corners[:, 0] - c[0])
+    order = jnp.argsort(-ang)
+    corners = corners[order]
+
+    theta = jnp.arctan2(pts[:, 1] - c[1], pts[:, 0] - c[0])
+
+    def refine(corners):
+        phi = jnp.arctan2(corners[:, 1] - c[1], corners[:, 0] - c[0])
+        beta = jnp.mod(phi[0] - phi, 2 * jnp.pi)  # ascending, beta[0] = 0
+        alpha = jnp.mod(phi[0] - theta, 2 * jnp.pi)
+        side = jnp.sum(alpha[:, None] >= beta[None, :], axis=1) - 1  # (P,) in 0..3
+        onehot = (side[:, None] == jnp.arange(4)[None, :]).astype(jnp.float32) * w[:, None]
+        sw = jnp.sum(onehot, axis=0) + 1e-9  # (4,)
+        mu = (onehot.T @ pts) / sw[:, None]  # (4, 2)
+        dxy = pts[:, None, :] - mu[None, :, :]  # (P, 4, 2)
+        a = jnp.sum(onehot * dxy[..., 0] ** 2, axis=0)
+        bcv = jnp.sum(onehot * dxy[..., 0] * dxy[..., 1], axis=0)
+        cc = jnp.sum(onehot * dxy[..., 1] ** 2, axis=0)
+        half = 0.5 * jnp.arctan2(2 * bcv, a - cc)
+        dirs = jnp.stack([jnp.cos(half), jnp.sin(half)], axis=-1)  # (4, 2)
+        normals = jnp.stack([-dirs[:, 1], dirs[:, 0]], axis=-1)
+        offs = jnp.sum(normals * mu, axis=-1)  # (4,)
+        # corner k = intersection of side k-1 and side k
+        nk1 = jnp.roll(normals, 1, axis=0)
+        ok1 = jnp.roll(offs, 1)
+        det = nk1[:, 0] * normals[:, 1] - nk1[:, 1] * normals[:, 0]
+        det = jnp.where(jnp.abs(det) < 1e-9, 1e-9, det)
+        cx = (ok1 * normals[:, 1] - nk1[:, 1] * offs) / det
+        cy = (nk1[:, 0] * offs - ok1 * normals[:, 0]) / det
+        new_corners = jnp.stack([cx, cy], axis=-1)
+        resid = jnp.sum(normals[side] * pts, axis=-1) - offs[side]
+        rms = jnp.sqrt(jnp.sum(w * resid**2) / wsum)
+        return new_corners, rms
+
+    rms = jnp.float32(jnp.inf)
+    for _ in range(refine_iters):
+        corners, rms = refine(corners)
+    # Re-sort to descending angle in case refinement reordered anything.
+    ang = jnp.arctan2(corners[:, 1] - c[1], corners[:, 0] - c[0])
+    corners = corners[jnp.argsort(-ang)]
+    return corners, rms
+
+
+def quad_candidates(
+    trinary: jax.Array,  # (B, H, W) int8 (decimated resolution)
+    labels: jax.Array,  # (B, H, W) int32
+    gray: jax.Array,  # (B, H, W) float32 (decimated resolution)
+    decimate_factor: int,
+    max_clusters: int = 256,
+    max_quads: int = 48,
+    pts_per_quad: int = 256,
+    min_cluster_pts: int = 24,
+    min_side: float = 4.0,
+    refine_iters: int = 2,
+    max_fit_err: float = 0.8,
+) -> QuadCandidates:
+    B, H, W = trinary.shape
+    ka, kb, x, y, w = _emit_boundaries(trinary, labels, gray)
+
+    def per_frame(ka, kb, x, y, w):
+        (x_s, y_s, w_s), st = _cluster(ka, kb, x, y, w, max_clusters)
+        count, start = st["count"], st["start"]
+        bw = st["xmax"] - st["xmin"]
+        bh = st["ymax"] - st["ymin"]
+        ok = (
+            (count >= min_cluster_pts)
+            & (bw >= min_side)
+            & (bh >= min_side)
+            & (count <= 3.0 * (bw + bh) + 32.0)
+        )
+        score = jnp.where(ok, count, -1.0)
+        top_score, top_idx = jax.lax.top_k(score, max_quads)
+        q_valid = top_score > 0
+        q_start = start[top_idx]
+        q_count = count[top_idx].astype(jnp.int32)
+
+        def gather_quad(s, n, v):
+            k = jnp.arange(pts_per_quad, dtype=jnp.int32)
+            idx = s + (k * jnp.maximum(n, 1)) // pts_per_quad
+            idx = jnp.minimum(idx, x_s.shape[0] - 1)
+            pts = jnp.stack([jnp.take(x_s, idx), jnp.take(y_s, idx)], axis=-1)
+            wq = jnp.take(w_s, idx) * v
+            return pts, wq
+
+        pts, wq = jax.vmap(gather_quad)(q_start, q_count, q_valid.astype(jnp.float32))
+        corners, rms = jax.vmap(lambda p, ww: _fit_quad(p, ww, refine_iters))(pts, wq)
+
+        # Geometry screens: convexity + area + containment.
+        e = jnp.roll(corners, -1, axis=1) - corners  # (Q, 4, 2) edge vectors
+        cross = e[:, :, 0] * jnp.roll(e, -1, axis=1)[:, :, 1] - e[:, :, 1] * jnp.roll(e, -1, axis=1)[:, :, 0]
+        convex = jnp.all(cross > 0, axis=1) | jnp.all(cross < 0, axis=1)
+        area = 0.5 * jnp.abs(
+            jnp.sum(corners[:, :, 0] * jnp.roll(corners, -1, axis=1)[:, :, 1]
+                    - corners[:, :, 1] * jnp.roll(corners, -1, axis=1)[:, :, 0], axis=1)
+        )
+        inb = jnp.all(
+            (corners[..., 0] >= -4) & (corners[..., 0] <= W + 4)
+            & (corners[..., 1] >= -4) & (corners[..., 1] <= H + 4),
+            axis=1,
+        )
+        good = q_valid & convex & (area >= min_side * min_side) & inb & (rms <= max_fit_err)
+        return corners * decimate_factor, good, rms, q_count
+
+    corners, valid, fit_err, csize = jax.vmap(per_frame)(ka, kb, x, y, w)
+    return QuadCandidates(corners=corners, valid=valid, fit_err=fit_err, cluster_size=csize)

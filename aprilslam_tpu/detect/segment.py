@@ -1,0 +1,101 @@
+"""Connected-component labeling on TPU (stage 2 of the detector).
+
+The C apriltag library does this with a sequential union-find over pixel
+pairs — inherently pointer-chasing and single-threaded. The TPU formulation
+is iterative min-label propagation, which XLA vectorizes across the whole
+frame batch:
+
+* **Segmented min-scans** along rows and columns: within each maximal run of
+  same-colour pixels, every pixel takes the run's minimum label (one
+  associative scan per direction, log-depth on device).
+* **Pointer jumping**: ``label <- label[label]`` (labels are linear pixel
+  indices, so a label IS a pointer to a pixel). Each round halves the
+  remaining chain depth, so scans x jumps converge for ring/quad shapes in a
+  handful of iterations.
+
+Unknown (-1) pixels never merge. The sentinel label H*W marks them.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _segmented_min_scan(labels: jax.Array, same: jax.Array) -> jax.Array:
+    """Min-scan along the last axis with resets where ``same`` is False.
+
+    ``same[..., i]`` says element i continues the run of element i-1
+    (same[..., 0] must be False). Returns per-element min over its whole run
+    (forward + backward pass).
+    """
+
+    def combine(a, b):
+        am, ar = a
+        bm, br = b
+        # br: b continues a's run -> min; otherwise b starts fresh.
+        return jnp.where(br, jnp.minimum(am, bm), bm), ar & br
+
+    def run(l, s):
+        m, _ = jax.lax.associative_scan(combine, (l, s), axis=-1)
+        return m
+
+    fwd = run(labels, same)
+    bwd = jnp.flip(
+        run(jnp.flip(labels, axis=-1), jnp.flip(jnp.roll(same, -1, axis=-1).at[..., -1].set(False), axis=-1)),
+        axis=-1,
+    )
+    return jnp.minimum(fwd, bwd)
+
+
+@partial(jax.jit, static_argnames=("scan_iters", "jump_iters"))
+def connected_components(
+    trinary: jax.Array,  # (B, H, W) int8: 0 black, 1 white, -1 unknown
+    scan_iters: int = 4,
+    jump_iters: int = 2,
+) -> jax.Array:
+    """Label connected same-colour regions. Returns (B, H, W) int32 labels;
+    each known pixel's label is the minimum linear index in its component,
+    unknown pixels get the sentinel H*W."""
+    B, H, W = trinary.shape
+    sentinel = jnp.int32(H * W)
+    lin = (
+        jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
+        + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    )
+    known = trinary >= 0
+    labels = jnp.where(known, lin[None], sentinel)
+
+    same_row = jnp.zeros((B, H, W), dtype=bool)
+    same_row = same_row.at[:, :, 1:].set(
+        (trinary[:, :, 1:] == trinary[:, :, :-1]) & (trinary[:, :, 1:] >= 0)
+    )
+    same_col = jnp.zeros((B, W, H), dtype=bool)
+    same_col = same_col.at[:, :, 1:].set(
+        (trinary[:, 1:, :] == trinary[:, :-1, :]).swapaxes(1, 2) & (trinary[:, 1:, :] >= 0).swapaxes(1, 2)
+    )
+
+    def jump(labels):
+        flat = labels.reshape(B, H * W)
+
+        def one(f):
+            idx = jnp.minimum(f, H * W - 1)
+            return jnp.minimum(f, jnp.take(f, idx, axis=0))
+
+        return jax.vmap(one)(flat).reshape(B, H, W)
+
+    def body(_, labels):
+        labels = _segmented_min_scan(labels, same_row)
+        labels = _segmented_min_scan(
+            labels.swapaxes(1, 2), same_col
+        ).swapaxes(1, 2)
+        for _ in range(jump_iters):
+            labels = jump(labels)
+        return labels
+
+    labels = jax.lax.fori_loop(0, scan_iters, body, labels)
+    # Keep unknown pixels pinned at the sentinel (jump can't move them, scans
+    # can't either since same=False at their edges, but be explicit).
+    return jnp.where(known, labels, sentinel)

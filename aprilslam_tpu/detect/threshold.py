@@ -1,0 +1,98 @@
+"""Preprocessing + adaptive thresholding (stage 1 of the detector).
+
+TPU-native counterpart of the C apriltag front end (grayscale conversion at
+reference tag_detector.py:25, then the C library's decimate + tile-based
+adaptive threshold). Everything is expressed as reduce-window/reshape ops that
+XLA fuses into a handful of VPU passes over the frame batch.
+
+Output is a trinary map: +1 white, 0 black, -1 unknown (insufficient local
+contrast) — unknown pixels neither join components nor form boundaries.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+BGR_WEIGHTS = (0.114, 0.587, 0.299)  # cv2 BGR2GRAY convention
+
+
+def to_grayscale(frames: jax.Array) -> jax.Array:
+    """(B, H, W[, 3]) uint8/float -> (B, H, W) float32 in [0, 1].
+
+    3-channel input is taken as BGR (cv2 convention, tag_detector.py:25).
+    """
+    if frames.dtype == jnp.uint8:
+        frames = frames.astype(jnp.float32) / 255.0
+    frames = frames.astype(jnp.float32)
+    if frames.ndim == 4:
+        w = jnp.asarray(BGR_WEIGHTS, dtype=jnp.float32)
+        frames = jnp.einsum("bhwc,c->bhw", frames, w)
+    return frames
+
+
+def decimate(frames: jax.Array, factor: int) -> jax.Array:
+    """Average-pool by an integer factor (apriltag's quad_decimate)."""
+    if factor == 1:
+        return frames
+    B, H, W = frames.shape
+    Hd, Wd = H // factor, W // factor
+    x = frames[:, : Hd * factor, : Wd * factor]
+    x = x.reshape(B, Hd, factor, Wd, factor)
+    return x.mean(axis=(2, 4))
+
+
+def _tile_minmax(frames: jax.Array, tile: int) -> tuple[jax.Array, jax.Array]:
+    """Per-tile min/max, then min/max over the 3x3 tile neighbourhood."""
+    B, H, W = frames.shape
+    Ht, Wt = H // tile, W // tile
+    x = frames[:, : Ht * tile, : Wt * tile].reshape(B, Ht, tile, Wt, tile)
+    tmin = x.min(axis=(2, 4))
+    tmax = x.max(axis=(2, 4))
+
+    def neigh(t, op):
+        pads = jnp.pad(t, ((0, 0), (1, 1), (1, 1)), mode="edge")
+        out = t
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                out = op(out, pads[:, 1 + dy : 1 + dy + Ht, 1 + dx : 1 + dx + Wt])
+        return out
+
+    nmin = neigh(tmin, jnp.minimum)
+    nmax = neigh(tmax, jnp.maximum)
+    return nmin, nmax
+
+
+@partial(jax.jit, static_argnames=("tile",))
+def adaptive_threshold(
+    frames: jax.Array,
+    tile: int = 4,
+    min_contrast: float = 0.1,
+) -> jax.Array:
+    """(B, H, W) float32 -> (B, H, W) int8 trinary (+1 white, 0 black, -1 unknown).
+
+    Neighbourhood tile min/max thresholding at (min+max)/2, with low-contrast
+    tiles marked unknown — the same scheme the C detector uses, reformulated
+    as pooled reductions.
+    """
+    B, H, W = frames.shape
+    nmin, nmax = _tile_minmax(frames, tile)
+    # Upsample tile stats back to pixel resolution.
+    up_min = jnp.repeat(jnp.repeat(nmin, tile, axis=1), tile, axis=2)
+    up_max = jnp.repeat(jnp.repeat(nmax, tile, axis=1), tile, axis=2)
+    # Handle non-divisible edges by padding with the last row/col of stats.
+    if up_min.shape[1] < H or up_min.shape[2] < W:
+        up_min = jnp.pad(
+            up_min, ((0, 0), (0, H - up_min.shape[1]), (0, W - up_min.shape[2])), mode="edge"
+        )
+        up_max = jnp.pad(
+            up_max, ((0, 0), (0, H - up_max.shape[1]), (0, W - up_max.shape[2])), mode="edge"
+        )
+    mid = 0.5 * (up_min + up_max)
+    white = frames > mid
+    known = (up_max - up_min) >= min_contrast
+    return jnp.where(known, white.astype(jnp.int8), jnp.int8(-1))
