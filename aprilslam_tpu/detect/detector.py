@@ -13,7 +13,7 @@ from dataclasses import dataclass
 import jax
 
 from ..families import TagFamily, get_family
-from .threshold import to_grayscale, decimate, adaptive_threshold
+from .threshold import to_grayscale, decimate, adaptive_threshold_with_levels
 from .segment import connected_components
 from .quads import quad_candidates
 from .decode import decode_quads, Detections, FamilyTensors
@@ -55,13 +55,16 @@ def detect_fn(family: str | TagFamily = "tagStandard41h12",
     def run(frames: jax.Array) -> Detections:
         gray = to_grayscale(frames)
         dec = decimate(gray, p.quad_decimate)
-        trinary = adaptive_threshold(dec, tile=p.tile, min_contrast=p.min_contrast)
+        trinary, level = adaptive_threshold_with_levels(
+            dec, tile=p.tile, min_contrast=p.min_contrast
+        )
         labels = connected_components(trinary, p.scan_iters, p.jump_iters)
         quads = quad_candidates(
             trinary,
             labels,
             dec,
             p.quad_decimate,
+            level,
             max_clusters=p.max_clusters,
             max_quads=p.max_quads,
             pts_per_quad=p.pts_per_quad,

@@ -45,44 +45,53 @@ class QuadCandidates:
     cluster_size: jax.Array  # (B, Q) boundary point count
 
 
-def _emit_boundaries(trinary: jax.Array, labels: jax.Array, gray: jax.Array):
+def _emit_boundaries(trinary: jax.Array, labels: jax.Array, gray: jax.Array, level: jax.Array):
     """Per frame: boundary points between black and white components.
+
+    Edge positions are subpixel: along the neighbour axis the point is placed
+    where the intensity crosses the local threshold ``level`` (linear
+    interpolation between the two pixel centres) — recovering the antialiased
+    edge position instead of the integer pixel-pair midpoint.
 
     Returns (key_black, key_white, x, y, w) flat arrays of length 2*H*W
     (padded; invalid entries keyed _BIG).
     """
     B, H, W = trinary.shape
 
-    def pairs(c0, c1, l0, l1, g0, g1, x, y):
+    def pairs(c0, c1, l0, l1, g0, g1, lvl, x0, y0, dx, dy):
         boundary = (c0 >= 0) & (c1 >= 0) & (c0 != c1)
         black = jnp.where(c0 == 0, l0, l1)
         white = jnp.where(c0 == 0, l1, l0)
         ka = jnp.where(boundary, black, _BIG)
         kb = jnp.where(boundary, white, _BIG)
         w = jnp.where(boundary, jnp.abs(g0 - g1), 0.0)
-        return ka, kb, x, y, w
+        denom = g1 - g0
+        t = jnp.where(jnp.abs(denom) < 1e-6, 0.5, (lvl - g0) / jnp.where(jnp.abs(denom) < 1e-6, 1.0, denom))
+        t = jnp.clip(t, 0.0, 1.0)
+        return ka, kb, x0 + t * dx, y0 + t * dy, w
 
-    # Right neighbours: boundary at (col+1, row+0.5) in continuous coords.
-    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W - 1), 1) + 1.0
+    # Right neighbours: pixel centres (col+0.5, row+0.5) and (col+1.5, row+0.5).
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W - 1), 1) + 0.5
     ys = jax.lax.broadcasted_iota(jnp.float32, (H, W - 1), 0) + 0.5
+    lvl_r = 0.5 * (level[:, :, :-1] + level[:, :, 1:])
     ka_r, kb_r, x_r, y_r, w_r = pairs(
         trinary[:, :, :-1], trinary[:, :, 1:],
         labels[:, :, :-1], labels[:, :, 1:],
-        gray[:, :, :-1], gray[:, :, 1:],
+        gray[:, :, :-1], gray[:, :, 1:], lvl_r,
         jnp.broadcast_to(xs, (B, H, W - 1)), jnp.broadcast_to(ys, (B, H, W - 1)),
+        1.0, 0.0,
     )
-    # Down neighbours: boundary at (col+0.5, row+1).
+    # Down neighbours.
     xd = jax.lax.broadcasted_iota(jnp.float32, (H - 1, W), 1) + 0.5
-    yd = jax.lax.broadcasted_iota(jnp.float32, (H - 1, W), 0) + 1.0
+    yd = jax.lax.broadcasted_iota(jnp.float32, (H - 1, W), 0) + 0.5
+    lvl_d = 0.5 * (level[:, :-1, :] + level[:, 1:, :])
     ka_d, kb_d, x_d, y_d, w_d = pairs(
         trinary[:, :-1, :], trinary[:, 1:, :],
         labels[:, :-1, :], labels[:, 1:, :],
-        gray[:, :-1, :], gray[:, 1:, :],
+        gray[:, :-1, :], gray[:, 1:, :], lvl_d,
         jnp.broadcast_to(xd, (B, H - 1, W)), jnp.broadcast_to(yd, (B, H - 1, W)),
+        0.0, 1.0,
     )
-
-    def flat(a, fill):
-        return a.reshape(B, -1)
 
     ka = jnp.concatenate([ka_r.reshape(B, -1), ka_d.reshape(B, -1)], axis=1)
     kb = jnp.concatenate([kb_r.reshape(B, -1), kb_d.reshape(B, -1)], axis=1)
@@ -195,6 +204,7 @@ def quad_candidates(
     labels: jax.Array,  # (B, H, W) int32
     gray: jax.Array,  # (B, H, W) float32 (decimated resolution)
     decimate_factor: int,
+    level: jax.Array | None = None,  # (B, H, W) local threshold level
     max_clusters: int = 256,
     max_quads: int = 48,
     pts_per_quad: int = 256,
@@ -204,7 +214,9 @@ def quad_candidates(
     max_fit_err: float = 0.8,
 ) -> QuadCandidates:
     B, H, W = trinary.shape
-    ka, kb, x, y, w = _emit_boundaries(trinary, labels, gray)
+    if level is None:
+        level = jnp.full_like(gray, 0.5)
+    ka, kb, x, y, w = _emit_boundaries(trinary, labels, gray, level)
 
     def per_frame(ka, kb, x, y, w):
         (x_s, y_s, w_s), st = _cluster(ka, kb, x, y, w, max_clusters)

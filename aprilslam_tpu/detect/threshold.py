@@ -68,16 +68,18 @@ def _tile_minmax(frames: jax.Array, tile: int) -> tuple[jax.Array, jax.Array]:
 
 
 @partial(jax.jit, static_argnames=("tile",))
-def adaptive_threshold(
+def adaptive_threshold_with_levels(
     frames: jax.Array,
     tile: int = 4,
     min_contrast: float = 0.1,
-) -> jax.Array:
-    """(B, H, W) float32 -> (B, H, W) int8 trinary (+1 white, 0 black, -1 unknown).
+) -> tuple[jax.Array, jax.Array]:
+    """(B, H, W) float32 -> (trinary int8, local threshold level float32).
 
-    Neighbourhood tile min/max thresholding at (min+max)/2, with low-contrast
-    tiles marked unknown — the same scheme the C detector uses, reformulated
-    as pooled reductions.
+    Trinary: +1 white, 0 black, -1 unknown. Neighbourhood tile min/max
+    thresholding at (min+max)/2, with low-contrast tiles marked unknown — the
+    same scheme the C detector uses, reformulated as pooled reductions. The
+    per-pixel threshold level is also returned: the boundary stage uses it to
+    place edge points at the subpixel gray-level crossing.
     """
     B, H, W = frames.shape
     nmin, nmax = _tile_minmax(frames, tile)
@@ -95,4 +97,13 @@ def adaptive_threshold(
     mid = 0.5 * (up_min + up_max)
     white = frames > mid
     known = (up_max - up_min) >= min_contrast
-    return jnp.where(known, white.astype(jnp.int8), jnp.int8(-1))
+    return jnp.where(known, white.astype(jnp.int8), jnp.int8(-1)), mid
+
+
+def adaptive_threshold(
+    frames: jax.Array,
+    tile: int = 4,
+    min_contrast: float = 0.1,
+) -> jax.Array:
+    """Trinary threshold map only (see adaptive_threshold_with_levels)."""
+    return adaptive_threshold_with_levels(frames, tile, min_contrast)[0]

@@ -1,0 +1,119 @@
+"""PnP tests: synthetic poses vs cv2.solvePnP oracle + detector integration."""
+
+import cv2
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from aprilslam_tpu.geometry import PinholeCamera, so3_exp, tag_object_corners
+from aprilslam_tpu.pose import solve_planar_pnp, poses_from_detections
+from aprilslam_tpu.detect import TagDetector, DetectorParams
+from aprilslam_tpu.sim import SceneConfig, scene_tensors, render_frames, camera_to_tag_transforms
+
+
+def random_tag_poses(rng, n, depth=(20.0, 80.0)):
+    """Random camera->tag transforms with the tag roughly facing the camera."""
+    Ts = []
+    for _ in range(n):
+        # modest tilt so all corners project with positive depth
+        axis = rng.normal(size=3)
+        axis /= np.linalg.norm(axis)
+        angle = rng.uniform(0, 0.6)
+        R = np.asarray(so3_exp(jnp.asarray(axis * angle)))
+        flip = np.diag([1.0, -1.0, -1.0])  # face the camera
+        R = flip @ R
+        t = np.array([rng.uniform(-15, 15), rng.uniform(-15, 15), rng.uniform(*depth)])
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = t
+        Ts.append(T)
+    return np.stack(Ts)
+
+
+class TestSolvePnP:
+    def setup_method(self):
+        self.cam = PinholeCamera.from_fov(1000, 1000, 45.0)
+        self.size = 10.0
+        self.obj = np.asarray(tag_object_corners(self.size))
+
+    def project(self, T):
+        pts = self.obj @ T[:3, :3].T + T[:3, 3]
+        uv = pts[:, :2] / pts[:, 2:3]
+        K = self.cam.matrix
+        return np.stack([K[0, 0] * uv[:, 0] + K[0, 2], K[1, 1] * uv[:, 1] + K[1, 2]], axis=-1)
+
+    def test_exact_corners_recover_pose(self, rng):
+        Ts = random_tag_poses(rng, 32)
+        corners = np.stack([self.project(T) for T in Ts]).astype(np.float32)
+        T_est, rvec, tvec, rms = solve_planar_pnp(
+            jnp.asarray(corners), jnp.asarray(self.cam.matrix), self.size
+        )
+        T_est = np.asarray(T_est)
+        assert np.asarray(rms).max() < 1e-2
+        t_err = np.linalg.norm(T_est[:, :3, 3] - Ts[:, :3, 3], axis=-1)
+        assert t_err.max() < 1e-2, t_err
+        r_err = np.linalg.norm(T_est[:, :3, :3] - Ts[:, :3, :3], axis=(1, 2))
+        assert r_err.max() < 1e-2
+
+    def test_matches_cv2_solvepnp_with_noise(self, rng):
+        Ts = random_tag_poses(rng, 16)
+        corners = np.stack([self.project(T) for T in Ts])
+        noisy = corners + rng.normal(scale=0.3, size=corners.shape)
+        T_est, _, _, _ = solve_planar_pnp(
+            jnp.asarray(noisy.astype(np.float32)), jnp.asarray(self.cam.matrix), self.size
+        )
+        T_est = np.asarray(T_est)
+        K64 = self.cam.matrix.astype(np.float64)
+        for i in range(len(Ts)):
+            okcv, rv, tv = cv2.solvePnP(
+                self.obj.astype(np.float64), noisy[i].astype(np.float64), K64, None
+            )
+            assert okcv
+            # both estimators should land near each other (and the truth)
+            d_cv2 = np.linalg.norm(T_est[i, :3, 3] - tv.ravel())
+            d_true_ours = np.linalg.norm(T_est[i, :3, 3] - Ts[i, :3, 3])
+            d_true_cv2 = np.linalg.norm(tv.ravel() - Ts[i, :3, 3])
+            assert d_cv2 < 1.0, (i, d_cv2)
+            # ours should not be significantly worse than cv2
+            assert d_true_ours < d_true_cv2 + 0.5, (i, d_true_ours, d_true_cv2)
+
+    def test_reprojection_quality_flag(self):
+        Ts = random_tag_poses(np.random.default_rng(7), 4)
+        corners = np.stack([self.project(T) for T in Ts]).astype(np.float32)
+        corners[0, 0] += 50.0  # corrupt one corner badly
+        _, _, _, rms = solve_planar_pnp(jnp.asarray(corners), jnp.asarray(self.cam.matrix), self.size)
+        rms = np.asarray(rms)
+        assert rms[0] > 2.0
+        assert rms[1:].max() < 0.1
+
+
+class TestIntegration:
+    def test_detect_then_pnp_matches_gt(self):
+        cfg = SceneConfig.from_file()
+        cam = PinholeCamera.from_fov(800, 800, cfg.fov_y)
+        scene = scene_tensors(cfg)
+        pos = jnp.asarray([[0.0, 0.0, 10.0]], jnp.float32)
+        rot = jnp.zeros((1, 3), jnp.float32)
+        frames = render_frames(scene, pos, rot, jnp.asarray(cam.inv_matrix), 800, 800, 2)
+        det = TagDetector(cfg.family, DetectorParams(quad_decimate=1)).detect(frames)
+        T, ok, rms = poses_from_detections(det, jnp.asarray(cam.matrix), cfg.tag_size_inner)
+        T, ok = np.asarray(T), np.asarray(ok)
+        assert ok[0].sum() >= 2
+        gt = np.asarray(
+            camera_to_tag_transforms(
+                jnp.asarray(cfg.tag_positions()), jnp.asarray(cfg.tag_rotations()), pos, rot
+            )
+        )[0]
+        ids = np.asarray(det.ids)[0]
+        tag_ids = cfg.tag_ids()
+        for d in range(det.max_detections):
+            if not ok[0, d]:
+                continue
+            t_idx = int(np.where(tag_ids == ids[d])[0][0])
+            t_err = np.linalg.norm(T[0, d, :3, 3] - gt[t_idx, :3, 3])
+            r_err = np.linalg.norm(T[0, d, :3, :3] - gt[t_idx, :3, :3])
+            depth = gt[t_idx, 2, 3]
+            # ~0.2 px corner noise propagates to depth error ~ z * 2*noise/size_px;
+            # allow 0.6% of depth (well under the reference's 1.8-unit RMSE bar)
+            assert t_err < max(0.3, 0.006 * depth), (ids[d], t_err, T[0, d, :3, 3], gt[t_idx, :3, 3])
+            assert r_err < 0.1, (ids[d], r_err)
