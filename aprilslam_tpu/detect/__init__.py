@@ -1,4 +1,4 @@
-from .threshold import to_grayscale, decimate, adaptive_threshold
+from .threshold import to_grayscale, decimate, adaptive_threshold, adaptive_threshold_with_levels
 from .segment import connected_components
 from .quads import quad_candidates, QuadCandidates
 from .decode import (
@@ -15,6 +15,7 @@ __all__ = [
     "to_grayscale",
     "decimate",
     "adaptive_threshold",
+    "adaptive_threshold_with_levels",
     "connected_components",
     "quad_candidates",
     "QuadCandidates",

@@ -1,0 +1,288 @@
+"""Sliding-window bundle adjustment with Schur-complement elimination.
+
+The reference has no optimizer at all — its backend is one-shot transform
+chaining plus matrix averaging, with covariance and `update_world` left as
+TODOs (slam_graph.py:3, 72-76). This module is the real factor-graph backend
+the BASELINE north star requires:
+
+* **State**: fixed-capacity keyframe window (ring buffer), tag-landmark
+  poses, and an observation ring — all static shapes, jit-native.
+* **Factors**: tag-corner reprojection (8 residuals per observation: 4
+  corners x 2), camera pose + landmark pose both optimized.
+* **Solver**: Levenberg-Marquardt. The normal equations are built with
+  segment-sums (pure einsum/scatter work -> MXU/VPU), the landmark block is
+  eliminated via the Schur complement (landmark blocks are 6x6, inverted
+  batched), and the reduced camera system (6K x 6K, small) is solved dense.
+  Gauge freedom is fixed by a strong prior on the anchor landmark.
+* **Distribution**: landmark blocks shard over devices; the reduced camera
+  system is psum-reduced across the mesh (parallel/distributed_ba.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3_exp, se3_inverse, tag_object_corners
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "kf_pose", "kf_active", "kf_ptr",
+        "lm_pose", "lm_active",
+        "obs_kf", "obs_lm", "obs_uv", "obs_ok", "obs_ptr",
+        "anchor",
+    ],
+    meta_fields=[],
+)
+@dataclass(frozen=True)
+class BAState:
+    kf_pose: jax.Array  # (K, 4, 4) camera->world (T_wc)
+    kf_active: jax.Array  # (K,) bool
+    kf_ptr: jax.Array  # () int32 next write slot
+    lm_pose: jax.Array  # (M, 4, 4) tag->world (slot = tag id)
+    lm_active: jax.Array  # (M,) bool
+    obs_kf: jax.Array  # (O,) int32
+    obs_lm: jax.Array  # (O,) int32
+    obs_uv: jax.Array  # (O, 4, 2)
+    obs_ok: jax.Array  # (O,) bool
+    obs_ptr: jax.Array  # () int32
+    anchor: jax.Array  # () int32 gauge landmark slot (-1 = none yet)
+
+    @property
+    def n_keyframes(self) -> int:
+        return int(self.kf_pose.shape[0])
+
+    @property
+    def n_landmarks(self) -> int:
+        return int(self.lm_pose.shape[0])
+
+    @property
+    def n_obs_capacity(self) -> int:
+        return int(self.obs_kf.shape[0])
+
+
+def ba_init(n_keyframes: int = 16, n_landmarks: int = 64, n_obs: int = 512,
+            dtype=jnp.float32) -> BAState:
+    eyeK = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (n_keyframes, 4, 4))
+    eyeM = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (n_landmarks, 4, 4))
+    return BAState(
+        kf_pose=eyeK,
+        kf_active=jnp.zeros((n_keyframes,), bool),
+        kf_ptr=jnp.int32(0),
+        lm_pose=eyeM,
+        lm_active=jnp.zeros((n_landmarks,), bool),
+        obs_kf=jnp.zeros((n_obs,), jnp.int32),
+        obs_lm=jnp.zeros((n_obs,), jnp.int32),
+        obs_uv=jnp.zeros((n_obs, 4, 2), dtype),
+        obs_ok=jnp.zeros((n_obs,), bool),
+        obs_ptr=jnp.int32(0),
+        anchor=jnp.int32(-1),
+    )
+
+
+def ba_add_frame(
+    state: BAState,
+    ids: jax.Array,  # (D,) int32 detection tag ids
+    corners: jax.Array,  # (D, 4, 2)
+    ok: jax.Array,  # (D,) bool
+    T_wc: jax.Array,  # (4, 4) initial camera pose in world frame
+    T_cam_tag: jax.Array,  # (D, 4, 4) per-detection PnP poses (for new lms)
+) -> BAState:
+    """Insert a keyframe + its observations; initialize unseen landmarks.
+
+    The keyframe ring overwrites the oldest slot (fixed-lag window); its old
+    observations are invalidated by slot match.
+    """
+    K = state.n_keyframes
+    M = state.n_landmarks
+    O = state.n_obs_capacity
+    D = ids.shape[0]
+    T_wc = T_wc.astype(state.kf_pose.dtype)
+    T_cam_tag = T_cam_tag.astype(state.kf_pose.dtype)
+
+    slot = state.kf_ptr % K
+    kf_pose = state.kf_pose.at[slot].set(T_wc)
+    kf_active = state.kf_active.at[slot].set(True)
+    # Drop observations that referenced the recycled keyframe slot.
+    obs_ok = state.obs_ok & (state.obs_kf != slot)
+
+    in_range = ok & (ids >= 0) & (ids < M)
+    # Invalid entries scatter out of bounds and are dropped — clipping them
+    # into range would make them race with valid writes to the same slot.
+    lm_slot = jnp.where(in_range, jnp.clip(ids, 0, M - 1), M)
+
+    # Anchor: lowest id ever seen (parity with the chaining graph's world
+    # frame so GT comparison stays in the same frame).
+    min_id = jnp.min(jnp.where(in_range, ids, jnp.int32(2**30)))
+    anchor = jnp.where(
+        state.anchor < 0,
+        jnp.where(min_id < 2**30, min_id, jnp.int32(-1)),
+        state.anchor,
+    ).astype(jnp.int32)
+
+    # New landmarks: T_wt = T_wc @ T_cam_tag.
+    lm_init = jnp.einsum("ij,djk->dik", T_wc, T_cam_tag)
+    is_new = in_range & ~state.lm_active[lm_slot]
+    lm_pose = state.lm_pose.at[lm_slot].set(
+        jnp.where(is_new[:, None, None], lm_init, state.lm_pose[lm_slot]), mode="drop"
+    )
+    lm_active = state.lm_active.at[lm_slot].set(
+        state.lm_active[lm_slot] | in_range, mode="drop"
+    )
+
+    # Append observations at the ring pointer.
+    idx = (state.obs_ptr + jnp.arange(D, dtype=jnp.int32)) % O
+    obs_kf = state.obs_kf.at[idx].set(jnp.where(in_range, slot, state.obs_kf[idx]))
+    obs_lm = state.obs_lm.at[idx].set(jnp.where(in_range, lm_slot, state.obs_lm[idx]))
+    obs_uv = state.obs_uv.at[idx].set(
+        jnp.where(in_range[:, None, None], corners.astype(state.obs_uv.dtype), state.obs_uv[idx])
+    )
+    obs_ok = obs_ok.at[idx].set(jnp.where(in_range, True, obs_ok[idx]))
+    # Advance pointer only past written entries to avoid holes: advance by D
+    # regardless (invalid entries stay marked not-ok).
+    return replace(
+        state,
+        kf_pose=kf_pose,
+        kf_active=kf_active,
+        kf_ptr=state.kf_ptr + 1,
+        lm_pose=lm_pose,
+        lm_active=lm_active,
+        obs_kf=obs_kf,
+        obs_lm=obs_lm,
+        obs_uv=obs_uv,
+        obs_ok=obs_ok,
+        obs_ptr=(state.obs_ptr + D) % O,
+        anchor=anchor,
+    )
+
+
+def _obs_residual(xi_c, xi_l, T_wc, T_wt, uv, obj, Kmat):
+    """8-vector reprojection residual for one observation with tangent
+    perturbations xi_c (camera) and xi_l (landmark)."""
+    T_wc = se3_exp(xi_c) @ T_wc
+    T_wt = se3_exp(xi_l) @ T_wt
+    T_ct = se3_inverse(T_wc) @ T_wt
+    p = obj @ T_ct[:3, :3].T + T_ct[:3, 3]
+    z = jnp.where(jnp.abs(p[:, 2:3]) < 1e-6, 1e-6, p[:, 2:3])
+    xy = p[:, :2] / z
+    proj = jnp.stack(
+        [Kmat[0, 0] * xy[:, 0] + Kmat[0, 2], Kmat[1, 1] * xy[:, 1] + Kmat[1, 2]], axis=-1
+    )
+    return (proj - uv).reshape(-1)
+
+
+def ba_cost(state: BAState, Kmat: jax.Array, tag_size: float) -> jax.Array:
+    obj = tag_object_corners(tag_size, dtype=state.kf_pose.dtype)
+    z6 = jnp.zeros(6, dtype=state.kf_pose.dtype)
+
+    def one(kf, lm, uv, okf):
+        r = _obs_residual(z6, z6, state.kf_pose[kf], state.lm_pose[lm], uv, obj, Kmat)
+        return jnp.sum(r * r) * okf
+
+    costs = jax.vmap(one)(state.obs_kf, state.obs_lm, state.obs_uv,
+                          state.obs_ok.astype(state.kf_pose.dtype))
+    return jnp.sum(costs)
+
+
+@partial(jax.jit, static_argnames=("iters", "tag_size"))
+def ba_optimize(
+    state: BAState,
+    Kmat: jax.Array,
+    tag_size: float,
+    iters: int = 8,
+    damping: float = 1e-3,
+    anchor_weight: float = 1e6,
+) -> BAState:
+    """Levenberg-Marquardt over keyframe + landmark poses (Schur-eliminated)."""
+    K = state.n_keyframes
+    M = state.n_landmarks
+    dtype = state.kf_pose.dtype
+    obj = tag_object_corners(tag_size, dtype=dtype)
+    z6 = jnp.zeros(6, dtype=dtype)
+    Kmat = Kmat.astype(dtype)
+
+    okf = state.obs_ok.astype(dtype)
+
+    def linearize(kf_pose, lm_pose):
+        def one(kf, lm, uv, w):
+            Twc = kf_pose[kf]
+            Twt = lm_pose[lm]
+            r = _obs_residual(z6, z6, Twc, Twt, uv, obj, Kmat)
+            Jc = jax.jacfwd(_obs_residual, argnums=0)(z6, z6, Twc, Twt, uv, obj, Kmat)
+            Jl = jax.jacfwd(_obs_residual, argnums=1)(z6, z6, Twc, Twt, uv, obj, Kmat)
+            return r * w, Jc * w, Jl * w
+
+        r, Jc, Jl = jax.vmap(one)(state.obs_kf, state.obs_lm, state.obs_uv, okf)
+        # Normal-equation blocks via segment sums.
+        Hcc = jax.ops.segment_sum(
+            jnp.einsum("ori,orj->oij", Jc, Jc), state.obs_kf, num_segments=K
+        )  # (K, 6, 6)
+        Hll = jax.ops.segment_sum(
+            jnp.einsum("ori,orj->oij", Jl, Jl), state.obs_lm, num_segments=M
+        )  # (M, 6, 6)
+        bc = jax.ops.segment_sum(jnp.einsum("ori,or->oi", Jc, r), state.obs_kf, num_segments=K)
+        bl = jax.ops.segment_sum(jnp.einsum("ori,or->oi", Jl, r), state.obs_lm, num_segments=M)
+        # Coupling W: scatter per-obs (6,6) blocks into (K, M, 6, 6).
+        Wkm = jnp.zeros((K, M, 6, 6), dtype)
+        Wkm = Wkm.at[state.obs_kf, state.obs_lm].add(jnp.einsum("ori,orj->oij", Jc, Jl))
+        return r, Hcc, Hll, bc, bl, Wkm
+
+    eye6 = jnp.eye(6, dtype=dtype)
+
+    def lm_step(carry, _):
+        kf_pose, lm_pose, lam = carry
+        r, Hcc, Hll, bc, bl, Wkm = linearize(kf_pose, lm_pose)
+        cost0 = jnp.sum(r * r)
+
+        # Damping + gauge prior + inactive-slot stabilization.
+        anchor_mask = (jnp.arange(M) == state.anchor).astype(dtype)
+        lm_prior = anchor_weight * anchor_mask + (1.0 - state.lm_active.astype(dtype)) * 1e4
+        Hll_d = Hll + (lam + 1e-6) * eye6 + lm_prior[:, None, None] * eye6
+        kf_prior = (1.0 - state.kf_active.astype(dtype)) * 1e4
+        Hcc_d = Hcc + (lam + 1e-6) * eye6 + kf_prior[:, None, None] * eye6
+
+        Hll_inv = jnp.linalg.inv(Hll_d)  # (M, 6, 6) batched
+        # Reduced camera system S (K, K, 6, 6).
+        WH = jnp.einsum("kmab,mbc->kmac", Wkm, Hll_inv)
+        S = -jnp.einsum("kmac,lmdc->klad", WH, Wkm)
+        S = S.at[jnp.arange(K), jnp.arange(K)].add(Hcc_d)
+        rhs = bc - jnp.einsum("kmab,mb->ka", WH, bl)  # (K, 6)
+        Sd = S.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
+        dc = -jnp.linalg.solve(Sd, rhs.reshape(K * 6)).reshape(K, 6)
+        dl = -jnp.einsum("mab,mb->ma", Hll_inv, bl + jnp.einsum("kmab,ka->mb", Wkm, dc))
+
+        kf_new = jax.vmap(lambda d, T: se3_exp(d) @ T)(dc, kf_pose)
+        lm_new = jax.vmap(lambda d, T: se3_exp(d) @ T)(dl, lm_pose)
+        kf_new = jnp.where(state.kf_active[:, None, None], kf_new, kf_pose)
+        lm_new = jnp.where(state.lm_active[:, None, None], lm_new, lm_pose)
+
+        # Evaluate new cost; accept/reject (classic LM lambda schedule).
+        def cost_of(kf_p, lm_p):
+            def one(kf, lm, uv, w):
+                rr = _obs_residual(z6, z6, kf_p[kf], lm_p[lm], uv, obj, Kmat)
+                return jnp.sum(rr * rr) * w
+            return jnp.sum(jax.vmap(one)(state.obs_kf, state.obs_lm, state.obs_uv, okf))
+
+        cost1 = cost_of(kf_new, lm_new)
+        accept = cost1 < cost0
+        kf_pose = jnp.where(accept, kf_new, kf_pose)
+        lm_pose = jnp.where(accept, lm_new, lm_pose)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+        lam = jnp.clip(lam, 1e-8, 1e4)
+        return (kf_pose, lm_pose, lam), cost1
+
+    (kf_pose, lm_pose, _), _ = jax.lax.scan(
+        lm_step, (state.kf_pose, state.lm_pose, jnp.asarray(damping, dtype)), None, length=iters
+    )
+    return replace(state, kf_pose=kf_pose, lm_pose=lm_pose)
+
+
+def latest_pose(state: BAState) -> jax.Array:
+    """Camera pose of the most recently added keyframe."""
+    slot = (state.kf_ptr - 1) % state.n_keyframes
+    return state.kf_pose[slot]

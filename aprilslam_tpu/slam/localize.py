@@ -1,0 +1,64 @@
+"""Joint multi-tag camera localization (the accurate ``my_pose``).
+
+The reference estimates the camera pose as an elementwise average of
+per-tag pose chains (slam.py:36-63) — cheap but not rigid and noise-amplifying.
+Given the landmark map, the right estimator is the camera pose minimizing the
+reprojection error of ALL visible tags' corners jointly: a 6-dof Gauss-Newton
+problem with 8 residuals per visible tag. Fixed iteration count, batched, and
+differentiable.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3_exp, se3_inverse, tag_object_corners
+
+
+def joint_camera_pose(
+    world: jax.Array,  # (M, 4, 4) tag->world transforms (graph state)
+    use: jax.Array,  # (M,) bool: landmarks to use (visible & present)
+    corners: jax.Array,  # (M, 4, 2) pixel corners per tag slot (by id)
+    K: jax.Array,  # (3, 3)
+    tag_size: float,
+    T_wc_init: jax.Array,  # (4, 4) initial camera pose in world frame
+    iters: int = 6,
+    lm_lambda: float = 1e-5,
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (T_wc refined (4,4), mean reprojection rms over used tags)."""
+    obj = tag_object_corners(tag_size)  # (4, 3)
+    # World-frame corner points per tag: X_w = world_t @ obj.
+    Xw = jnp.einsum("mij,cj->mci", world[:, :3, :3], obj) + world[:, None, :3, 3]  # (M, 4, 3)
+    uv_obs = corners
+    wmask = use.astype(jnp.float32)[:, None]  # (M, 1)
+
+    def residuals(T_cw):
+        Xc = jnp.einsum("ij,mcj->mci", T_cw[:3, :3], Xw) + T_cw[:3, 3]
+        z = jnp.where(jnp.abs(Xc[..., 2:3]) < 1e-6, 1e-6, Xc[..., 2:3])
+        xy = Xc[..., :2] / z
+        uv = jnp.stack(
+            [K[0, 0] * xy[..., 0] + K[0, 2], K[1, 1] * xy[..., 1] + K[1, 2]], axis=-1
+        )
+        return ((uv - uv_obs) * wmask[..., None]).reshape(-1)  # (M*8,)
+
+    def res_at(xi, T_cw):
+        return residuals(se3_exp(xi) @ T_cw)
+
+    T_cw = se3_inverse(T_wc_init)
+
+    def step(T_cw, _):
+        z6 = jnp.zeros(6, dtype=T_cw.dtype)
+        r = res_at(z6, T_cw)
+        J = jax.jacfwd(res_at)(z6, T_cw)
+        A = J.T @ J + lm_lambda * jnp.eye(6, dtype=T_cw.dtype)
+        g = J.T @ r
+        xi = -jnp.linalg.solve(A, g)
+        T_new = se3_exp(xi) @ T_cw
+        better = jnp.sum(res_at(z6, T_new) ** 2) < jnp.sum(r**2)
+        return jnp.where(better, T_new, T_cw), None
+
+    T_cw, _ = jax.lax.scan(step, T_cw, None, length=iters)
+    n = jnp.maximum(jnp.sum(use) * 8.0, 1.0)
+    rms = jnp.sqrt(jnp.sum(residuals(T_cw) ** 2) / n)
+    return se3_inverse(T_cw), rms

@@ -1,0 +1,189 @@
+"""The full SLAM step: frames -> detections -> poses -> graph -> estimate.
+
+TPU-shaped control flow: detection + PnP run BATCHED over the whole frame
+chunk (that is where the FLOPs are), then a lax.scan threads the sequential
+graph/pose updates over the chunk's frames (tiny per-frame work). This
+replaces the reference's per-frame Python loop
+(simulation_engine.py:161-238 -> slam.detect / get_pose / my_pose) with one
+jitted function per chunk.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+
+from ..detect import DetectorParams, detect_fn
+from ..families import TagFamily
+from ..geometry import PinholeCamera
+from ..pose import poses_from_detections
+from .graph import GraphState, init_graph, update_graph, estimate_pose_average
+from .localize import joint_camera_pose
+from .ba import BAState, ba_init, ba_add_frame, ba_optimize, latest_pose
+
+Estimator = Literal["reference_chain", "chain_avg", "joint", "ba"]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["poses", "valid", "reproj_rms", "n_visible", "n_nodes", "avg_node_distance"],
+    meta_fields=[],
+)
+@dataclass(frozen=True)
+class SlamOutputs:
+    poses: jax.Array  # (B, 4, 4) camera pose in world (anchor tag) frame
+    valid: jax.Array  # (B,) bool
+    reproj_rms: jax.Array  # (B,) joint-estimator reprojection rms (px); 0 otherwise
+    n_visible: jax.Array  # (B,) visible mapped tags
+    n_nodes: jax.Array  # (B,) graph size after the frame
+    avg_node_distance: jax.Array  # (B,) parity with slam.py:65-80
+
+
+def build_slam_step(
+    family: str | TagFamily,
+    camera: PinholeCamera,
+    tag_size: float,
+    detector_params: DetectorParams | None = None,
+    estimator: Estimator = "joint",
+    graph_capacity: int = 64,
+    pnp_iters: int = 8,
+    joint_iters: int = 6,
+    ba_keyframes: int = 16,
+    ba_obs: int = 512,
+    ba_iters_per_frame: int = 3,
+):
+    """Returns (slam_step, init_state) where
+    ``slam_step(state, frames) -> (state, SlamOutputs)`` is jittable and
+    processes a (B, H, W) chunk of frames sequentially w.r.t. graph state.
+
+    With estimator="ba" the state is (GraphState, BAState): the chaining
+    graph provides bootstrap initialization and the sliding-window LM bundle
+    adjustment refines keyframes + landmark poses each frame.
+    """
+    detect = detect_fn(family, detector_params)
+    K = jnp.asarray(camera.matrix)
+
+    from dataclasses import replace as _replace
+
+    from ..slam.graph import average_distance_to_nodes  # local import for clarity
+
+    use_ba = estimator == "ba"
+
+    def scatter_frame(ids, ok, corners, M):
+        okm = ok & (ids >= 0) & (ids < M)
+        slot = jnp.where(okm, jnp.clip(ids, 0, M - 1), M)
+        corn_m = jnp.zeros((M, 4, 2), dtype=corners.dtype)
+        corn_m = corn_m.at[slot].set(corners, mode="drop")
+        seen = jnp.zeros((M,), bool).at[slot].set(True, mode="drop")
+        return corn_m, seen
+
+    def slam_step(state, frames: jax.Array):
+        det = detect(frames)
+        T_all, ok_all, _rms_all = poses_from_detections(det, K, tag_size, iters=pnp_iters)
+
+        def per_frame(state, inp):
+            graph, ba = state if use_ba else (state, None)
+            M = graph.capacity
+            ids, T, ok, corners = inp
+            graph = update_graph(graph, ids, T, ok)
+            avg_T, avg_valid, graph = estimate_pose_average(
+                graph, project_rotation=(estimator != "reference_chain")
+            )
+            rms = jnp.zeros((), frames.dtype)
+            pose = avg_T
+            if estimator == "joint":
+                corn_m, seen = scatter_frame(ids, ok, corners, M)
+                use = seen & graph.present
+                T_wc, rms = joint_camera_pose(
+                    graph.world, use, corn_m, K, tag_size, avg_T, iters=joint_iters
+                )
+                pose = jnp.where(avg_valid, T_wc, avg_T)
+                graph = _replace(graph, estimated_pose=pose)
+            elif use_ba:
+                # Localize against the BA map when it has landmarks, else the
+                # chain estimate bootstraps.
+                corn_m, seen = scatter_frame(ids, ok, corners, ba.n_landmarks)
+                use = seen & ba.lm_active
+                T_init, _ = joint_camera_pose(
+                    ba.lm_pose, use, corn_m, K, tag_size, avg_T, iters=joint_iters
+                )
+                have_map = jnp.any(use)
+                T_init = jnp.where(have_map, T_init, avg_T)
+                ba = ba_add_frame(ba, ids, corners, ok, T_init, T)
+                ba = ba_optimize(ba, K, tag_size, iters=ba_iters_per_frame)
+                pose = latest_pose(ba)
+                pose = jnp.where(avg_valid, pose, avg_T)
+                graph = _replace(graph, estimated_pose=pose)
+
+            out = SlamOutputs(
+                poses=pose,
+                valid=avg_valid,
+                reproj_rms=rms,
+                n_visible=jnp.sum(graph.visible),
+                n_nodes=jnp.sum(graph.present),
+                avg_node_distance=average_distance_to_nodes(graph),
+            )
+            return ((graph, ba) if use_ba else graph), out
+
+        state, outs = jax.lax.scan(
+            per_frame, state, (det.ids, T_all, ok_all, det.corners)
+        )
+        return state, outs
+
+    def init():
+        g = init_graph(graph_capacity)
+        if use_ba:
+            return (g, ba_init(ba_keyframes, graph_capacity, ba_obs))
+        return g
+
+    return slam_step, init
+
+
+class SlamSystem:
+    """Stateful convenience wrapper (host-side loop driver).
+
+    Parity with the reference SLAM facade (slam.py:9-97): detect + per-tag
+    pose + graph maintenance + pose estimate, but consuming whole frame
+    chunks per call.
+    """
+
+    def __init__(
+        self,
+        camera: PinholeCamera,
+        family: str | TagFamily = "tagStandard41h12",
+        tag_size: float = 10.0,
+        estimator: Estimator = "joint",
+        detector_params: DetectorParams | None = None,
+        graph_capacity: int = 64,
+    ):
+        self._step, self._init = build_slam_step(
+            family, camera, tag_size,
+            detector_params=detector_params,
+            estimator=estimator,
+            graph_capacity=graph_capacity,
+        )
+        self._step = jax.jit(self._step)
+        self.state = self._init()
+
+    def process(self, frames) -> SlamOutputs:
+        self.state, outs = self._step(self.state, frames)
+        return outs
+
+    @property
+    def graph_state(self) -> GraphState:
+        return self.state[0] if isinstance(self.state, tuple) else self.state
+
+    @property
+    def ba_state(self):
+        return self.state[1] if isinstance(self.state, tuple) else None
+
+    @property
+    def coordinate_id(self) -> int:
+        return int(self.graph_state.coordinate_id)
+
+    def reset(self):
+        self.state = self._init()

@@ -1,0 +1,173 @@
+"""SLAM graph + pipeline tests, ending in the full closed-loop ATE check."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aprilslam_tpu.geometry import (
+    PinholeCamera,
+    se3_exp,
+    se3_inverse,
+    pose_error,
+)
+from aprilslam_tpu.slam import (
+    init_graph,
+    update_graph,
+    estimate_pose_average,
+    SlamSystem,
+    NO_ANCHOR,
+)
+from aprilslam_tpu.sim import (
+    SceneConfig,
+    scene_tensors,
+    render_frames,
+    camera_in_tag_frames,
+    trajectory,
+)
+
+
+def mk_T(rng, depth=30.0):
+    xi = rng.normal(size=(6,)) * 0.2
+    T = np.array(se3_exp(jnp.asarray(xi)))
+    T[:3, 3] += [0, 0, depth]
+    return jnp.asarray(T, dtype=jnp.float32)
+
+
+class TestGraph:
+    def test_anchor_is_first_min_id(self, rng):
+        st = init_graph(16)
+        T0, T2 = mk_T(rng), mk_T(rng)
+        ids = jnp.asarray([2, 5], jnp.int32)
+        Ts = jnp.stack([T0, T2])
+        ok = jnp.asarray([True, True])
+        st = update_graph(st, ids, Ts, ok)
+        assert int(st.coordinate_id) == 2
+        assert bool(st.present[2]) and bool(st.present[5])
+        # anchor world = identity
+        np.testing.assert_allclose(np.asarray(st.world[2]), np.eye(4), atol=1e-5)
+
+    def test_chaining_world_consistency(self, rng):
+        """Two tags seen together: world_5 must equal local_2 @ T_5 — and the
+        implied camera poses from both tags must agree."""
+        st = init_graph(16)
+        T2, T5 = mk_T(rng), mk_T(rng)
+        st = update_graph(st, jnp.asarray([2, 5]), jnp.stack([T2, T5]), jnp.asarray([True, True]))
+        w5 = np.asarray(st.world[5])
+        expect = np.asarray(se3_inverse(T2) @ T5)
+        np.testing.assert_allclose(w5, expect, atol=1e-5)
+        cam_from_2 = np.asarray(st.world[2] @ st.local[2])
+        cam_from_5 = np.asarray(st.world[5] @ st.local[5])
+        np.testing.assert_allclose(cam_from_2, cam_from_5, atol=1e-4)
+
+    def test_multi_hop_weight(self, rng):
+        st = init_graph(16)
+        # frame 1: tags 0, 3
+        st = update_graph(st, jnp.asarray([0, 3]), jnp.stack([mk_T(rng), mk_T(rng)]), jnp.asarray([True, True]))
+        # frame 2: tags 3, 7 (7 chains through 3 -> weight 2)
+        st = update_graph(st, jnp.asarray([3, 7]), jnp.stack([mk_T(rng), mk_T(rng)]), jnp.asarray([True, True]))
+        assert float(st.weight[7]) == 2.0
+        assert int(st.reference[7]) == 0  # inherits 3's reference (the anchor)
+
+    def test_reobservation_keeps_world_when_anchor_hidden(self, rng):
+        """Reference semantics (slam_graph.py:42-54): with the anchor VISIBLE a
+        re-observation rebuilds world by direct chaining; with the anchor
+        hidden, a known tag referencing the anchor keeps its world and is
+        marked updated=False."""
+        st = init_graph(16)
+        T0a, T5a = mk_T(rng), mk_T(rng)
+        st = update_graph(st, jnp.asarray([0, 5]), jnp.stack([T0a, T5a]), jnp.asarray([True, True]))
+        w5 = np.asarray(st.world[5]).copy()
+        # anchor visible -> world recomputed (direct chain), updated stays True
+        T0b, T5b = mk_T(rng), mk_T(rng)
+        st = update_graph(st, jnp.asarray([0, 5]), jnp.stack([T0b, T5b]), jnp.asarray([True, True]))
+        assert bool(st.updated[5])
+        w5b = np.asarray(st.world[5]).copy()
+        # anchor hidden -> tag 5 keeps world, updated=False; tag 7 hops via 5
+        T5c, T7 = mk_T(rng), mk_T(rng)
+        st = update_graph(st, jnp.asarray([5, 7]), jnp.stack([T5c, T7]), jnp.asarray([True, True]))
+        np.testing.assert_allclose(np.asarray(st.world[5]), w5b, atol=1e-6)
+        assert not bool(st.updated[5])
+        assert float(st.weight[7]) == 2.0
+
+    def test_reanchoring_conjugates_worlds(self, rng):
+        """See tag 3 alone, then tags 1+3: anchor moves 3 -> 1 and tag 3's
+        world must become its pose in tag 1's frame (the reference leaves it
+        stale - slam_graph.py:72-76; we implement it properly)."""
+        st = init_graph(16)
+        T3a = mk_T(rng)
+        st = update_graph(st, jnp.asarray([3, -1]), jnp.stack([T3a, T3a]), jnp.asarray([True, False]))
+        assert int(st.coordinate_id) == 3
+        T1, T3b = mk_T(rng), mk_T(rng)
+        st = update_graph(st, jnp.asarray([1, 3]), jnp.stack([T1, T3b]), jnp.asarray([True, True]))
+        assert int(st.coordinate_id) == 1
+        np.testing.assert_allclose(np.asarray(st.world[1]), np.eye(4), atol=1e-5)
+        # camera pose agreement through both tags
+        cam1 = np.asarray(st.world[1] @ st.local[1])
+        cam3 = np.asarray(st.world[3] @ st.local[3])
+        np.testing.assert_allclose(cam1, cam3, atol=1e-4)
+
+    def test_estimate_average_parity(self, rng):
+        st = init_graph(8)
+        T0, T1 = mk_T(rng), mk_T(rng)
+        st = update_graph(st, jnp.asarray([0, 1]), jnp.stack([T0, T1]), jnp.asarray([True, True]))
+        T_avg, valid, st = estimate_pose_average(st, project_rotation=False)
+        assert bool(valid)
+        # manual replication of slam.py:41-63
+        w0 = np.asarray(st.world[0] @ st.local[0])
+        w1 = np.asarray(st.world[1] @ st.local[1])
+        expect = (w0 / 1.0 + w1 / 1.0) / 2.0
+        np.testing.assert_allclose(np.asarray(T_avg), expect, atol=1e-5)
+
+    def test_empty_frame_no_crash(self):
+        st = init_graph(8)
+        ids = jnp.asarray([-1, -1], jnp.int32)
+        Ts = jnp.broadcast_to(jnp.eye(4), (2, 4, 4))
+        st = update_graph(st, ids, Ts, jnp.asarray([False, False]))
+        assert int(st.coordinate_id) == int(NO_ANCHOR)
+        _, valid, _ = estimate_pose_average(st)
+        assert not bool(valid)
+
+
+@pytest.mark.parametrize("estimator", ["chain_avg", "joint", "ba"])
+class TestEndToEndSlam:
+    def test_closed_loop_ate(self, estimator):
+        """Full loop on the default scene: render -> detect -> PnP -> graph ->
+        estimate, ATE vs analytic GT must beat the reference bar (1.8 su)."""
+        cfg = SceneConfig.from_file()
+        cam = PinholeCamera.from_fov(512, 512, cfg.fov_y)
+        scene = scene_tensors(cfg)
+        slam = SlamSystem(cam, cfg.family, cfg.tag_size_inner, estimator=estimator)
+
+        traj = trajectory.scripted_line(12, np.array([0.0, 0.0, 20.0]), np.array([8.0, 2.0, -10.0]))
+        pos = jnp.asarray(traj.positions)
+        rot = jnp.asarray(traj.rotations)
+        frames = render_frames(scene, pos, rot, jnp.asarray(cam.inv_matrix), 512, 512, 2)
+        outs = slam.process(frames)
+
+        anchor = slam.coordinate_id
+        t_idx = int(np.where(cfg.tag_ids() == anchor)[0][0])
+        gt = np.asarray(
+            camera_in_tag_frames(
+                jnp.asarray(cfg.tag_positions()), jnp.asarray(cfg.tag_rotations()), pos, rot
+            )
+        )[:, t_idx]
+        est = np.asarray(outs.poses)
+        valid = np.asarray(outs.valid)
+        assert valid.sum() >= 10, valid
+        terrs, rerrs = [], []
+        for b in range(len(valid)):
+            if not valid[b]:
+                continue
+            te, re = pose_error(jnp.asarray(est[b]), jnp.asarray(gt[b]))
+            terrs.append(float(te))
+            rerrs.append(float(re))
+        terrs = np.asarray(terrs)
+        rmse = float(np.sqrt(np.mean(terrs**2)))
+        # Reference bar: 1.797 su translation RMSE (BASELINE.md). We target
+        # far better; joint estimator should be ~cm-level.
+        # (joint beats chain_avg but is still limited by the chained map's
+        # noise; bundle adjustment tightens the map itself)
+        bar = {"chain_avg": 0.9, "joint": 0.75, "ba": 0.5}[estimator]
+        assert rmse < bar, (estimator, rmse, terrs)
+        assert np.mean(rerrs) < 0.05, rerrs
