@@ -1,0 +1,37 @@
+"""Benchmark CLI: wraps the repo-root bench with configurable knobs."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="aprilslam_tpu benchmark")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--resolution", type=int, default=1000)
+    p.add_argument("--chunks", type=int, default=6)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args(argv)
+    os.environ["BENCH_BATCH"] = str(args.batch)
+    os.environ["BENCH_RES"] = str(args.resolution)
+    os.environ["BENCH_CHUNKS"] = str(args.chunks)
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    sys.path.insert(0, os.getcwd())
+    import importlib.util
+
+    bench_path = os.path.join(os.getcwd(), "bench.py")
+    if os.path.exists(bench_path):
+        spec = importlib.util.spec_from_file_location("bench", bench_path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.main()
+        return 0
+    print("bench.py not found in cwd", file=sys.stderr)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

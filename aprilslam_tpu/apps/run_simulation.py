@@ -1,0 +1,216 @@
+"""Simulation CLI — capability parity with the reference run_simulation.py.
+
+Flags mirror the reference (--config/-c, --no-movement, --debug;
+run_simulation.py:88-112) plus TPU-era controls (batch size, frame budget,
+estimator selection, headless mode). The loop is the reference's
+render -> detect -> estimate -> GT-compare -> log cycle
+(simulation_engine.py:145-300), executed in device-batched chunks, with the
+coloured terminal dashboard (simulation_engine.py:403-453) and CSV logging.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+
+def parse_arguments(argv=None):
+    p = argparse.ArgumentParser(
+        description="TPU-native AprilTag SLAM simulation",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("--config", "-c", default=None, help="scene config JSON path")
+    p.add_argument("--no-movement", action="store_true",
+                   help="Monte Carlo teleporting camera (reference parity mode)")
+    p.add_argument("--debug", action="store_true", help="debug logging")
+    p.add_argument("--frames", type=int, default=64, help="total frames to process")
+    p.add_argument("--batch", type=int, default=8, help="frames per device chunk")
+    p.add_argument("--resolution", type=int, default=None,
+                   help="override render resolution (default: config display size)")
+    p.add_argument("--estimator", choices=["reference_chain", "chain_avg", "joint", "ba"],
+                   default="ba")
+    p.add_argument("--trajectory", choices=["line", "orbit", "walk", "monte_carlo"],
+                   default="walk")
+    p.add_argument("--decimate", type=int, default=2, help="detector quad decimation")
+    p.add_argument("--output-dir", default="data/csv", help="CSV output directory")
+    p.add_argument("--save-viz", default=None,
+                   help="directory to save visualizer snapshots (map/graph/error)")
+    p.add_argument("--headless", action="store_true", help="no dashboard printing")
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def setup_logging(debug: bool, log_dir: str = "data/logs"):
+    os.makedirs(log_dir, exist_ok=True)
+    level = logging.DEBUG if debug else logging.INFO
+    logging.basicConfig(
+        level=level,
+        format="%(asctime)s %(levelname)s %(message)s",
+        handlers=[
+            logging.FileHandler(os.path.join(log_dir, "simulation_runner.log"), mode="w"),
+            logging.StreamHandler(sys.stdout),
+        ],
+        force=True,
+    )
+
+
+GREEN, YELLOW, RED, RESET, CLEAR = "\033[92m", "\033[93m", "\033[91m", "\033[0m", "\033[2J\033[H"
+
+
+def fmt_distance(value_su: float, to_mm) -> str:
+    """mm/cm/m autoscaling (simulation_engine.py:423-446)."""
+    mm = to_mm(value_su)
+    if abs(mm) < 10:
+        return f"{mm:.2f} mm"
+    if abs(mm) < 1000:
+        return f"{mm / 10:.2f} cm"
+    return f"{mm / 1000:.3f} m"
+
+
+def colour_for(err_mm: float) -> str:
+    if err_mm < 10:
+        return GREEN
+    if err_mm < 30:
+        return YELLOW
+    return RED
+
+
+def main(argv=None) -> int:
+    args = parse_arguments(argv)
+    setup_logging(args.debug)
+    log = logging.getLogger("aprilslam")
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from ..geometry import PinholeCamera
+    from ..sim import SceneConfig, scene_tensors, render_frames, camera_in_tag_frames, trajectory
+    from ..detect import DetectorParams
+    from ..slam import SlamSystem, average_distance_to_nodes
+    from ..eval import DataLogger, trajectory_report
+
+    try:
+        cfg = SceneConfig.from_file(args.config)
+    except (ValueError, OSError) as e:
+        log.error(f"Config error: {e}")
+        log.error("Check the scene JSON: required keys, positive sizes, non-empty tags.")
+        return 2
+
+    res = args.resolution or cfg.display_width
+    cam = PinholeCamera.from_fov(res, res, cfg.fov_y)
+    scene = scene_tensors(cfg)
+    log.info(f"Scene: {len(cfg.tags)} tags, family {cfg.family}, {res}x{res}, "
+             f"fx={cam.fx:.1f}")
+
+    n = (args.frames // args.batch) * args.batch
+    if args.no_movement or args.trajectory == "monte_carlo":
+        traj = trajectory.monte_carlo(n, seed=args.seed)
+    elif args.trajectory == "line":
+        traj = trajectory.scripted_line(n)
+    elif args.trajectory == "orbit":
+        traj = trajectory.orbit(n)
+    else:
+        traj = trajectory.smooth_random_walk(n, seed=args.seed)
+
+    slam = SlamSystem(
+        cam, cfg.family, cfg.tag_size_inner,
+        estimator=args.estimator,
+        detector_params=DetectorParams(quad_decimate=args.decimate, min_cluster_pts=12),
+    )
+
+    viz = None
+    if args.save_viz:
+        os.makedirs(args.save_viz, exist_ok=True)
+        from ..viz import SlamVisualizer
+
+        viz = SlamVisualizer(interactive=False)
+
+    K_inv = jnp.asarray(cam.inv_matrix)
+    tag_pos = jnp.asarray(cfg.tag_positions())
+    tag_rot = jnp.asarray(cfg.tag_rotations())
+    est_all, gt_all, valid_all = [], [], []
+
+    t_start = time.time()
+    with DataLogger(args.output_dir) as dlog:
+        for s in range(0, n, args.batch):
+            pos = jnp.asarray(traj.positions[s : s + args.batch])
+            rot = jnp.asarray(traj.rotations[s : s + args.batch])
+            frames = render_frames(scene, pos, rot, K_inv, res, res, 2)
+            outs = slam.process(frames)
+            anchor = slam.coordinate_id
+            ids = cfg.tag_ids()
+            if anchor in ids:
+                t_idx = int(np.where(ids == anchor)[0][0])
+                gt = np.asarray(camera_in_tag_frames(tag_pos, tag_rot, pos, rot))[:, t_idx]
+            else:
+                gt = np.broadcast_to(np.eye(4), (args.batch, 4, 4))
+            est = np.asarray(outs.poses)
+            valid = np.asarray(outs.valid)
+            nn = np.asarray(outs.n_nodes)
+            ad = np.asarray(outs.avg_node_distance)
+            for b in range(args.batch):
+                if not valid[b]:
+                    continue
+                frame_i = s + b
+                dlog.log_frame(est[b], gt[b], int(nn[b]), float(ad[b]),
+                               t=time.time() - t_start)
+                est_all.append(est[b])
+                gt_all.append(gt[b])
+            valid_all.append(valid)
+
+            if not args.headless and valid.any():
+                b = int(np.nonzero(valid)[0][-1])
+                te = float(np.linalg.norm(est[b][:3, 3] - gt[b][:3, 3]))
+                re = float(np.linalg.norm(est[b][:3, :3] - gt[b][:3, :3]))
+                te_mm = cfg.simulation_units_to_mm(te)
+                c = colour_for(te_mm)
+                done = s + args.batch
+                fps = done / (time.time() - t_start)
+                print(
+                    f"{CLEAR}=== AprilSLAM-TPU ===\n"
+                    f"frames      : {done}/{n}   ({fps:.1f} fps incl. host loop)\n"
+                    f"nodes       : {int(nn[b])}   anchor tag {anchor}\n"
+                    f"est pos     : {np.round(est[b][:3, 3], 2)}\n"
+                    f"gt  pos     : {np.round(gt[b][:3, 3], 2)}\n"
+                    f"trans error : {c}{fmt_distance(te, cfg.simulation_units_to_mm)}{RESET}\n"
+                    f"rot error   : {re:.4f} (Frobenius)\n"
+                )
+
+        stats = dlog.get_statistics()
+
+    if viz is not None:
+        gstate = slam.graph_state
+        viz.vis_slam(gstate, save_path=os.path.join(args.save_viz, "map3d.png"))
+        viz.slam_graph(gstate, save_path=os.path.join(args.save_viz, "graph.png"))
+
+    if est_all:
+        rep = trajectory_report(
+            np.stack(est_all), np.stack(gt_all), unit_to_mm=cfg.simulation_units_to_mm(1.0)
+        )
+        log.info(f"ATE RMSE: {rep['ate_rmse']:.4f} su "
+                 f"({rep['translation_mm']['rmse']:.2f} mm); "
+                 f"mean {rep['translation']['mean']:.4f} su; "
+                 f"rotation mean {rep['rotation']['mean']:.5f}")
+        log.info(f"Valid pose rate: {np.concatenate(valid_all).mean():.3f}; "
+                 f"runtime {stats['runtime_seconds']:.1f}s; "
+                 f"avg {stats['average_fps']:.2f} fps")
+        print(json.dumps({
+            "ate_rmse_su": round(rep["ate_rmse"], 4),
+            "ate_rmse_mm": round(rep["translation_mm"]["rmse"], 2),
+            "frames": len(est_all),
+            "fps": round(stats["average_fps"], 2),
+            "estimator": args.estimator,
+        }))
+    else:
+        log.warning("No valid pose estimates produced.")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

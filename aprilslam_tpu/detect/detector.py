@@ -38,6 +38,7 @@ class DetectorParams:
     max_hamming: int = 3
     min_level_contrast: float = 0.06
     max_detections: int = 32
+    max_boundary: int = 32768
 
 
 def detect_fn(family: str | TagFamily = "tagStandard41h12",
@@ -72,6 +73,7 @@ def detect_fn(family: str | TagFamily = "tagStandard41h12",
             min_side=p.min_side,
             refine_iters=p.refine_iters,
             max_fit_err=p.max_fit_err,
+            max_boundary=p.max_boundary,
         )
         return decode_quads(
             gray,

@@ -1,0 +1,105 @@
+"""Trajectory/pose evaluation metrics.
+
+Parity with the reference's metric definitions so results are directly
+comparable to its baseline CSVs:
+* translation error = ||t_est - t_gt||_2, rotation error = Frobenius norm of
+  the rotation-matrix difference (ground_truth.py:274-300);
+* percentage error vs GT magnitude (data_logger.py:336-360);
+plus the standard SLAM aggregate the reference lacks: ATE RMSE over a
+trajectory (with optional SE(3) alignment).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class PoseErrorStats:
+    mean: float
+    median: float
+    rmse: float
+    max: float
+    count: int
+
+    @staticmethod
+    def from_errors(errors: np.ndarray) -> "PoseErrorStats":
+        if len(errors) == 0:
+            return PoseErrorStats(np.nan, np.nan, np.nan, np.nan, 0)
+        e = np.asarray(errors, dtype=np.float64)
+        return PoseErrorStats(
+            mean=float(e.mean()),
+            median=float(np.median(e)),
+            rmse=float(np.sqrt(np.mean(e**2))),
+            max=float(e.max()),
+            count=int(len(e)),
+        )
+
+
+def pose_errors(est: np.ndarray, gt: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-pose (translation L2, rotation Frobenius) errors for (N, 4, 4)."""
+    t_err = np.linalg.norm(est[:, :3, 3] - gt[:, :3, 3], axis=-1)
+    r_err = np.linalg.norm(est[:, :3, :3] - gt[:, :3, :3], axis=(1, 2))
+    return t_err, r_err
+
+
+def percentage_error(translation_error: float, gt_magnitude: float) -> float:
+    """data_logger.py:336-360 semantics."""
+    return translation_error / gt_magnitude * 100.0 if gt_magnitude > 0 else 0.0
+
+
+def align_umeyama(est_t: np.ndarray, gt_t: np.ndarray, with_scale: bool = False):
+    """Least-squares SE(3) (or Sim(3)) alignment of trajectories (N, 3).
+
+    Returns (R, t, s) minimizing ||gt - (s R est + t)||. Standard ATE
+    preprocessing the reference never had (its frames are anchored by
+    construction, so alignment is optional here).
+    """
+    mu_e = est_t.mean(axis=0)
+    mu_g = gt_t.mean(axis=0)
+    xe = est_t - mu_e
+    xg = gt_t - mu_g
+    C = xg.T @ xe / len(est_t)
+    U, D, Vt = np.linalg.svd(C)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1
+    R = U @ S @ Vt
+    if with_scale:
+        var_e = (xe**2).sum() / len(est_t)
+        s = float(np.trace(np.diag(D) @ S) / var_e)
+    else:
+        s = 1.0
+    t = mu_g - s * R @ mu_e
+    return R, t, s
+
+
+def ate_rmse(
+    est: np.ndarray, gt: np.ndarray, align: bool = False, with_scale: bool = False
+) -> float:
+    """Absolute trajectory error RMSE over (N, 4, 4) pose arrays."""
+    est_t = est[:, :3, 3]
+    gt_t = gt[:, :3, 3]
+    if align and len(est) >= 3:
+        R, t, s = align_umeyama(est_t, gt_t, with_scale)
+        est_t = (s * (R @ est_t.T)).T + t
+    return float(np.sqrt(np.mean(np.sum((est_t - gt_t) ** 2, axis=-1))))
+
+
+def trajectory_report(est: np.ndarray, gt: np.ndarray, unit_to_mm: float | None = None) -> dict:
+    """Summary dict comparable against BASELINE.md's table."""
+    t_err, r_err = pose_errors(est, gt)
+    ts = PoseErrorStats.from_errors(t_err)
+    rs = PoseErrorStats.from_errors(r_err)
+    out = {
+        "translation": ts.__dict__,
+        "rotation": rs.__dict__,
+        "ate_rmse": ate_rmse(est, gt),
+        "ate_rmse_aligned": ate_rmse(est, gt, align=True),
+    }
+    if unit_to_mm:
+        out["translation_mm"] = {k: (v * unit_to_mm if isinstance(v, float) else v)
+                                 for k, v in ts.__dict__.items()}
+    return out
