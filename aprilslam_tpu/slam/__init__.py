@@ -8,6 +8,8 @@ from .graph import (
 )
 from .localize import joint_camera_pose
 from .pipeline import SlamSystem, SlamOutputs, build_slam_step
+from .ba import BAState, ba_init, ba_add_frame, ba_optimize, ba_cost, latest_pose
+from .pgo import PoseGraphEdges, edges_init, add_edge, edges_from_trajectory, pgo_optimize, pgo_cost
 
 __all__ = [
     "GraphState",
