@@ -27,6 +27,9 @@ def parse_arguments(argv=None):
     p.add_argument("--no-movement", action="store_true",
                    help="Monte Carlo teleporting camera (reference parity mode)")
     p.add_argument("--debug", action="store_true", help="debug logging")
+    p.add_argument("--legacy", action="store_true",
+                   help="reference-parity estimator (exact chaining + raw averaging, "
+                        "like the reference's legacy engine)")
     p.add_argument("--frames", type=int, default=64, help="total frames to process")
     p.add_argument("--batch", type=int, default=8, help="frames per device chunk")
     p.add_argument("--resolution", type=int, default=None,
@@ -94,6 +97,8 @@ def main(argv=None) -> int:
     from ..slam import SlamSystem, average_distance_to_nodes
     from ..eval import DataLogger, trajectory_report
 
+    if args.legacy:
+        args.estimator = "reference_chain"
     try:
         cfg = SceneConfig.from_file(args.config)
     except (ValueError, OSError) as e:
