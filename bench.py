@@ -53,7 +53,9 @@ def main():
         detector_params=DetectorParams(quad_decimate=2, min_cluster_pts=12),
         estimator="joint",
     )
-    step = jax.jit(step, donate_argnums=(0,))
+    # NOTE: no donate_argnums — buffer donation trips an INVALID_ARGUMENT in
+    # the axon TPU backend (verified empirically; works fine without).
+    step = jax.jit(step)
 
     # Pre-render all frame chunks on device (the harness, not the benchmark).
     chunks = [

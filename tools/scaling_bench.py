@@ -1,0 +1,156 @@
+#!/usr/bin/env python3
+"""Large-map distributed-BA scaling benchmark (BASELINE config 5).
+
+Synthesizes a big tag map (default 1024 landmarks, 64-keyframe window,
+thousands of observations), then measures LM-BA iteration throughput on a
+1-device baseline vs an n-device mesh (landmark-sharded). On this machine
+the mesh is virtual CPU devices — the point is to validate the scaling
+STRUCTURE (communication volume independent of map size, per-device work
+1/n) that carries to real pods; run on hardware for wall-clock truth.
+
+Usage:
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python tools/scaling_bench.py --landmarks 1024 --keyframes 32 --obs 4096
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--landmarks", type=int, default=1024)
+    ap.add_argument("--keyframes", type=int, default=32)
+    ap.add_argument("--obs", type=int, default=4096)
+    ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    import os
+
+    import numpy as np
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        # the host sitecustomize force-registers the axon TPU platform and
+        # overrides the env var; the config knob wins
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from aprilslam_tpu.geometry import PinholeCamera, tag_object_corners, se3_exp
+    from aprilslam_tpu.slam.ba import ba_init, ba_optimize, ba_cost, BAState
+    from aprilslam_tpu.parallel import (
+        make_mesh, build_distributed_ba, shard_observations_by_owner,
+    )
+    from dataclasses import replace
+
+    rng = np.random.default_rng(0)
+    M, K, O = args.landmarks, args.keyframes, args.obs
+    tag_size = 10.0
+    cam = PinholeCamera.from_fov(1000, 1000, 45.0)
+    Kmat = jnp.asarray(cam.matrix)
+    obj = np.asarray(tag_object_corners(tag_size))
+
+    # Synthetic world: landmark grid; keyframes sweep over it.
+    side = int(np.ceil(np.sqrt(M)))
+    lm_pose = np.broadcast_to(np.eye(4, dtype=np.float32), (M, 4, 4)).copy()
+    for m in range(M):
+        lm_pose[m][:3, 3] = [(m % side) * 25.0, (m // side) * 25.0, 0.0]
+    kf_pose = np.broadcast_to(np.eye(4, dtype=np.float32), (K, 4, 4)).copy()
+    for k in range(K):
+        kf_pose[k][:3, :3] = np.diag([1, -1, -1]).astype(np.float32)
+        kf_pose[k][:3, 3] = [rng.uniform(0, side * 25), rng.uniform(0, side * 25), 140.0]
+
+    # Observations: each keyframe sees its nearest landmarks.
+    obs_kf = np.zeros(O, np.int32)
+    obs_lm = np.zeros(O, np.int32)
+    obs_uv = np.zeros((O, 4, 2), np.float32)
+    per_kf = O // K
+    i = 0
+    for k in range(K):
+        d = np.linalg.norm(lm_pose[:, :3, 3] - kf_pose[k][:3, 3], axis=-1)
+        near = np.argsort(d)[:per_kf]
+        for m in near:
+            T_ct = np.linalg.inv(kf_pose[k]) @ lm_pose[m]
+            p = obj @ T_ct[:3, :3].T + T_ct[:3, 3]
+            uv = p[:, :2] / p[:, 2:3]
+            Km = np.asarray(cam.matrix)
+            obs_uv[i] = np.stack(
+                [Km[0, 0] * uv[:, 0] + Km[0, 2], Km[1, 1] * uv[:, 1] + Km[1, 2]], -1
+            ) + rng.normal(scale=0.3, size=(4, 2))
+            obs_kf[i] = k
+            obs_lm[i] = m
+            i += 1
+    n_obs = i
+
+    # Perturbed initialization (what BA has to fix).
+    kf_noisy = np.stack([
+        np.asarray(se3_exp(jnp.asarray(rng.normal(scale=0.01, size=6)))) @ kf_pose[k]
+        for k in range(K)
+    ]).astype(np.float32)
+    lm_noisy = np.stack([
+        np.asarray(se3_exp(jnp.asarray(rng.normal(scale=0.01, size=6)))) @ lm_pose[m]
+        for m in range(M)
+    ]).astype(np.float32)
+
+    st = ba_init(K, M, O)
+    st = replace(
+        st,
+        kf_pose=jnp.asarray(kf_noisy),
+        kf_active=jnp.ones((K,), bool),
+        lm_pose=jnp.asarray(lm_noisy),
+        lm_active=jnp.ones((M,), bool),
+        obs_kf=jnp.asarray(obs_kf),
+        obs_lm=jnp.asarray(obs_lm),
+        obs_uv=jnp.asarray(obs_uv),
+        obs_ok=jnp.asarray(np.arange(O) < n_obs),
+        anchor=jnp.int32(0),
+        kf_ptr=jnp.int32(K),
+    )
+
+    c0 = float(ba_cost(st, Kmat, tag_size))
+
+    def timed(fn, *a):
+        out = fn(*a)
+        jax.block_until_ready(jax.tree.leaves(out)[0])
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            out = fn(*a)
+            jax.block_until_ready(jax.tree.leaves(out)[0])
+        return out, (time.perf_counter() - t0) / args.reps
+
+    # Single-device baseline.
+    st1, t1 = timed(lambda: ba_optimize(st, Kmat, tag_size, iters=args.iters))
+    c1 = float(ba_cost(st1, Kmat, tag_size))
+
+    # Distributed.
+    mesh = make_mesh(args.devices, axis="lm")
+    st_sh = shard_observations_by_owner(st, args.devices)
+    run = build_distributed_ba(mesh, K, M, O, tag_size, iters=args.iters)
+    (stn, _), tn = timed(lambda: run(st_sh, Kmat))
+    cn = float(ba_cost(stn, Kmat, tag_size))
+
+    speedup = t1 / tn
+    eff = speedup / args.devices
+    print(json.dumps({
+        "landmarks": M, "keyframes": K, "observations": n_obs,
+        "lm_iters": args.iters,
+        "cost_initial": round(c0, 1),
+        "cost_single": round(c1, 1),
+        "cost_distributed": round(cn, 1),
+        "t_single_s": round(t1, 3),
+        "t_distributed_s": round(tn, 3),
+        "devices": args.devices,
+        "speedup": round(speedup, 2),
+        "scaling_efficiency": round(eff, 3),
+        "ba_iters_per_sec_distributed": round(args.iters / tn, 2),
+        "note": "virtual CPU mesh validates structure; hardware mesh for wall-clock",
+    }))
+
+
+if __name__ == "__main__":
+    main()
