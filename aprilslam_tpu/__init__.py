@@ -10,3 +10,14 @@ via jax.sharding meshes.
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# Geometry correctness requirement: TPU matmul/einsum default to bfloat16
+# MXU passes, which quantizes every 3x3/4x4 transform chain (rendering
+# homographies, GT oracle, PnP, BA normal equations) to ~3 decimal digits —
+# measured as whole-quad corner shifts of 0.2-1.3 px and matching ATE error.
+# These ops are tiny; the framework's throughput comes from batched
+# elementwise/VPU work and the decode matcher (which requests lower
+# precision explicitly where safe). Force full f32 matmuls globally.
+_jax.config.update("jax_default_matmul_precision", "highest")

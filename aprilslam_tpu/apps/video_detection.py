@@ -96,7 +96,7 @@ def main(argv=None) -> int:
             if len(frames_buf) == args.batch:
                 batch = jnp.asarray(np.stack(frames_buf))
                 det = detector.detect(batch)
-                T, okp, rms = poses_from_detections(det, Kj, args.tag_size)
+                T, okp, rms, _seed = poses_from_detections(det, Kj, args.tag_size)
                 ids = np.asarray(det.ids)
                 okp = np.asarray(okp)
                 Tn = np.asarray(T)

@@ -157,7 +157,12 @@ def decode_quads(
 
     bits_all = jnp.where(samples > mid[..., None], 1.0, -1.0)
     bits = jnp.take(bits_all, fam.mask_idx, axis=-1)  # (B, Q, D)
-    scores = jnp.einsum("bqd,nd->bqn", bits, fam.templates)  # (B, Q, 4N)
+    # +-1 bit correlation: exact in bf16 up to ~256 summed bits of error-free
+    # magnitude, and robust to rounding regardless — keep it on the fast MXU
+    # path despite the package-wide "highest" matmul precision.
+    scores = jnp.einsum(
+        "bqd,nd->bqn", bits, fam.templates, precision=jax.lax.Precision.DEFAULT
+    )  # (B, Q, 4N)
     top2, top2_idx = jax.lax.top_k(scores, 2)
     best = top2_idx[..., 0]
     margin = top2[..., 0] - top2[..., 1]

@@ -17,6 +17,7 @@ from .threshold import to_grayscale, decimate, adaptive_threshold_with_levels
 from .segment import connected_components
 from .quads import quad_candidates
 from .decode import decode_quads, Detections, FamilyTensors
+from .refine import refine_corners
 
 
 @dataclass(frozen=True)
@@ -39,6 +40,9 @@ class DetectorParams:
     min_level_contrast: float = 0.06
     max_detections: int = 32
     max_boundary: int = 32768
+    refine_edges: bool = True
+    refine_samples: int = 12
+    refine_range: float = 2.0
 
 
 def detect_fn(family: str | TagFamily = "tagStandard41h12",
@@ -75,7 +79,7 @@ def detect_fn(family: str | TagFamily = "tagStandard41h12",
             max_fit_err=p.max_fit_err,
             max_boundary=p.max_boundary,
         )
-        return decode_quads(
+        det = decode_quads(
             gray,
             quads,
             ft,
@@ -83,6 +87,17 @@ def detect_fn(family: str | TagFamily = "tagStandard41h12",
             min_level_contrast=p.min_level_contrast,
             max_detections=p.max_detections,
         )
+        if p.refine_edges and p.quad_decimate > 1:
+            # Quad corners were fit at decimated resolution; re-localize the
+            # edges on the full-res frame (apriltag's refine_edges stage).
+            from dataclasses import replace as _dc_replace
+
+            refined = refine_corners(
+                gray, det.corners, det.valid,
+                ns=p.refine_samples, half_range=p.refine_range,
+            )
+            det = _dc_replace(det, corners=refined)
+        return det
 
     return run
 

@@ -32,7 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..geometry import se3_exp, tag_object_corners
-from ..slam.ba import BAState, _obs_residual
+from ..slam.ba import BAState, _obs_residual, _huber_sqrt_weights, _damp_blocks, _solve_jacobi
 
 
 def shard_observations_by_owner(state: BAState, n_shards: int) -> BAState:
@@ -81,8 +81,8 @@ def build_distributed_ba(
     tag_size: float,
     axis: str = "lm",
     iters: int = 8,
-    damping: float = 1e-3,
-    anchor_weight: float = 1e6,
+    damping: float = 1e-2,
+    huber_px: float = 4.0,
 ):
     """Returns a jitted ``fn(state_sharded, Kmat) -> state_sharded`` running
     LM-BA with landmarks + observations sharded over ``axis``.
@@ -94,7 +94,6 @@ def build_distributed_ba(
     K = n_keyframes
     M = n_landmarks
     Ml = M // n_dev  # local landmarks per device
-    eye6 = jnp.eye(6, dtype=jnp.float32)
 
     def local_step(
         kf_pose,  # (K, 4, 4) replicated
@@ -115,18 +114,32 @@ def build_distributed_ba(
         obj = tag_object_corners(tag_size, dtype=jnp.float32)
         z6 = jnp.zeros(6, jnp.float32)
         w = obs_ok.astype(jnp.float32)
+        # Gauge left to Marquardt damping; anchor-relative consumers
+        # conjugate by the refined anchor pose (see slam/ba.py).
+        lm_free = jnp.ones_like(w)
 
-        def one(kf, lml, uv, ww):
+        def one(kf, lml, uv, ww, wl):
             lml = jnp.clip(lml, 0, Ml - 1)
             Twc = kf_pose[kf]
             Twt = lm_pose[lml]
             r = _obs_residual(z6, z6, Twc, Twt, uv, obj, Kmat)
             Jc = jax.jacfwd(_obs_residual, argnums=0)(z6, z6, Twc, Twt, uv, obj, Kmat)
             Jl = jax.jacfwd(_obs_residual, argnums=1)(z6, z6, Twc, Twt, uv, obj, Kmat)
-            return r * ww, Jc * ww, Jl * ww
+            wh = _huber_sqrt_weights(r, huber_px) * ww
+            return r * wh, Jc * wh[:, None], Jl * wh[:, None] * wl
 
-        r, Jc, Jl = jax.vmap(one)(obs_kf, obs_lm_local, obs_uv, w)
-        cost_local = jnp.sum(r * r)
+        r, Jc, Jl = jax.vmap(one)(obs_kf, obs_lm_local, obs_uv, w, lm_free)
+
+        def robust_cost_of(kf_p, lm_p):
+            def one_rho(kf, lml, uv, ww):
+                lml = jnp.clip(lml, 0, Ml - 1)
+                rr = _obs_residual(z6, z6, kf_p[kf], lm_p[lml], uv, obj, Kmat)
+                a = jnp.abs(rr)
+                rho = jnp.where(a <= huber_px, rr * rr, huber_px * (2.0 * a - huber_px))
+                return jnp.sum(rho) * ww
+            return jax.lax.psum(
+                jnp.sum(jax.vmap(one_rho)(obs_kf, obs_lm_local, obs_uv, w)), axis
+            )
 
         Hcc = jax.ops.segment_sum(jnp.einsum("ori,orj->oij", Jc, Jc), obs_kf, num_segments=K)
         bc = jax.ops.segment_sum(jnp.einsum("ori,or->oi", Jc, r), obs_kf, num_segments=K)
@@ -136,12 +149,9 @@ def build_distributed_ba(
         Wkm = jnp.zeros((K, Ml, 6, 6), jnp.float32)
         Wkm = Wkm.at[obs_kf, lml_safe].add(jnp.einsum("ori,orj->oij", Jc, Jl))
 
-        # Damping + priors (anchor may live on this shard).
-        gid = base + jnp.arange(Ml)
-        lm_prior = anchor_weight * (gid == anchor).astype(jnp.float32) + (
-            1.0 - lm_active.astype(jnp.float32)
-        ) * 1e4
-        Hll_d = Hll + (lam + 1e-6) * eye6 + lm_prior[:, None, None] * eye6
+        # Damping + inactive-slot priors (the anchor's Jl is already zeroed).
+        lm_prior = (1.0 - lm_active.astype(jnp.float32)) * 1e4
+        Hll_d = _damp_blocks(Hll, lam, lm_prior)
         Hll_inv = jnp.linalg.inv(Hll_d)
 
         WH = jnp.einsum("kmab,mbc->kmac", Wkm, Hll_inv)
@@ -152,13 +162,13 @@ def build_distributed_ba(
         Hcc_full = jax.lax.psum(Hcc, axis)
         S = jax.lax.psum(S_part, axis)
         rhs = jax.lax.psum(rhs_part, axis)
-        cost0 = jax.lax.psum(cost_local, axis)
+        cost0 = robust_cost_of(kf_pose, lm_pose)
 
         kf_prior = (1.0 - kf_active.astype(jnp.float32)) * 1e4
-        Hcc_d = Hcc_full + (lam + 1e-6) * eye6 + kf_prior[:, None, None] * eye6
+        Hcc_d = _damp_blocks(Hcc_full, lam, kf_prior)
         S = S.at[jnp.arange(K), jnp.arange(K)].add(Hcc_d)
         Sd = S.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
-        dc = -jnp.linalg.solve(Sd, rhs.reshape(K * 6)).reshape(K, 6)
+        dc = -_solve_jacobi(Sd, rhs.reshape(K * 6)).reshape(K, 6)
 
         dl = -jnp.einsum("mab,mb->ma", Hll_inv, bl + jnp.einsum("kmab,ka->mb", Wkm, dc))
 
@@ -167,21 +177,11 @@ def build_distributed_ba(
         lm_new = jax.vmap(lambda d, T: se3_exp(d) @ T)(dl, lm_pose)
         lm_new = jnp.where(lm_active[:, None, None], lm_new, lm_pose)
 
-        # New cost for accept/reject.
-        def cost_of(kf_p, lm_p):
-            def one_c(kf, lml, uv, ww):
-                lml = jnp.clip(lml, 0, Ml - 1)
-                rr = _obs_residual(z6, z6, kf_p[kf], lm_p[lml], uv, obj, Kmat)
-                return jnp.sum(rr * rr) * ww
-            return jax.lax.psum(
-                jnp.sum(jax.vmap(one_c)(obs_kf, obs_lm_local, obs_uv, w)), axis
-            )
-
-        cost1 = cost_of(kf_new, lm_new)
-        accept = cost1 < cost0
+        cost1 = robust_cost_of(kf_new, lm_new)
+        accept = (cost1 < cost0) & jnp.isfinite(cost1)
         kf_pose = jnp.where(accept, kf_new, kf_pose)
         lm_pose = jnp.where(accept, lm_new, lm_pose)
-        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-8, 1e4)
+        lam = jnp.clip(jnp.where(accept, lam * 0.3, lam * 5.0), 1e-7, 1e6)
         return kf_pose, lm_pose, lam, cost1
 
     def sharded_fn(kf_pose, kf_active, anchor, lm_pose, lm_active,

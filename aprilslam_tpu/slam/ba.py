@@ -9,11 +9,18 @@ the BASELINE north star requires:
   poses, and an observation ring — all static shapes, jit-native.
 * **Factors**: tag-corner reprojection (8 residuals per observation: 4
   corners x 2), camera pose + landmark pose both optimized.
-* **Solver**: Levenberg-Marquardt. The normal equations are built with
-  segment-sums (pure einsum/scatter work -> MXU/VPU), the landmark block is
-  eliminated via the Schur complement (landmark blocks are 6x6, inverted
-  batched), and the reduced camera system (6K x 6K, small) is solved dense.
-  Gauge freedom is fixed by a strong prior on the anchor landmark.
+* **Solver**: Levenberg-Marquardt with Huber-IRLS robust weighting. The
+  normal equations are built with segment-sums (pure einsum/scatter work ->
+  MXU/VPU), the landmark block is eliminated via the Schur complement
+  (landmark blocks are 6x6, inverted batched), and the reduced camera system
+  (6K x 6K, small) is solved dense with Jacobi preconditioning — required
+  for float32 on TPU, where the raw reduced system's condition number
+  (~1e10: rotation/translation scale mismatch x weak planar depth) makes an
+  unpreconditioned solve return garbage steps that LM then rejects forever.
+  Damping is Marquardt-style (lambda * diag(H)), and lambda is carried in
+  the state so per-frame incremental calls resume the schedule instead of
+  restarting it. Gauge freedom is fixed EXACTLY by treating the anchor
+  landmark as a constant (its Jacobian is zeroed).
 * **Distribution**: landmark blocks shard over devices; the reduced camera
   system is psum-reduced across the mesh (parallel/distributed_ba.py).
 """
@@ -35,7 +42,7 @@ from ..geometry import se3_exp, se3_inverse, tag_object_corners
         "kf_pose", "kf_active", "kf_ptr",
         "lm_pose", "lm_active",
         "obs_kf", "obs_lm", "obs_uv", "obs_ok", "obs_ptr",
-        "anchor",
+        "anchor", "lam",
     ],
     meta_fields=[],
 )
@@ -52,6 +59,7 @@ class BAState:
     obs_ok: jax.Array  # (O,) bool
     obs_ptr: jax.Array  # () int32
     anchor: jax.Array  # () int32 gauge landmark slot (-1 = none yet)
+    lam: jax.Array  # () LM damping, persisted across incremental calls
 
     @property
     def n_keyframes(self) -> int:
@@ -82,6 +90,7 @@ def ba_init(n_keyframes: int = 16, n_landmarks: int = 64, n_obs: int = 512,
         obs_ok=jnp.zeros((n_obs,), bool),
         obs_ptr=jnp.int32(0),
         anchor=jnp.int32(-1),
+        lam=jnp.asarray(1e-2, dtype),
     )
 
 
@@ -92,11 +101,18 @@ def ba_add_frame(
     ok: jax.Array,  # (D,) bool
     T_wc: jax.Array,  # (4, 4) initial camera pose in world frame
     T_cam_tag: jax.Array,  # (D, 4, 4) per-detection PnP poses (for new lms)
+    seed_ok: jax.Array | None = None,  # (D,) bool: pose reliable for lm init
 ) -> BAState:
     """Insert a keyframe + its observations; initialize unseen landmarks.
 
     The keyframe ring overwrites the oldest slot (fixed-lag window); its old
     observations are invalidated by slot match.
+
+    ``seed_ok`` gates LANDMARK INITIALIZATION (and the observations of a
+    still-uninitialized landmark) separately from plain observation validity:
+    corner observations are pose-branch-agnostic, but a landmark seeded from
+    a planar-ambiguous PnP pose (pose/pnp.py ambiguity ratio near 1) lands on
+    the wrong side of the camera and becomes a poisoned local minimum.
     """
     K = state.n_keyframes
     M = state.n_landmarks
@@ -111,9 +127,15 @@ def ba_add_frame(
     # Drop observations that referenced the recycled keyframe slot.
     obs_ok = state.obs_ok & (state.obs_kf != slot)
 
+    if seed_ok is None:
+        seed_ok = ok
     in_range = ok & (ids >= 0) & (ids < M)
     # Invalid entries scatter out of bounds and are dropped — clipping them
     # into range would make them race with valid writes to the same slot.
+    lm_slot = jnp.where(in_range, jnp.clip(ids, 0, M - 1), M)
+    # Accept an observation only if its landmark is (or is being) initialized
+    # from a reliable pose — an active landmark, or a seedable detection.
+    in_range = in_range & (state.lm_active[jnp.clip(lm_slot, 0, M - 1)] | seed_ok)
     lm_slot = jnp.where(in_range, jnp.clip(ids, 0, M - 1), M)
 
     # Anchor: lowest id ever seen (parity with the chaining graph's world
@@ -189,16 +211,54 @@ def ba_cost(state: BAState, Kmat: jax.Array, tag_size: float) -> jax.Array:
     return jnp.sum(costs)
 
 
+def _huber_sqrt_weights(r: jax.Array, delta: float) -> jax.Array:
+    """Per-residual sqrt(IRLS weight) for a Huber loss with threshold delta."""
+    a = jnp.abs(r)
+    return jnp.sqrt(jnp.minimum(1.0, delta / jnp.maximum(a, 1e-12)))
+
+
+def _damp_blocks(H: jax.Array, lam: jax.Array, prior: jax.Array) -> jax.Array:
+    """Marquardt damping on (N, 6, 6) blocks: H + lam*diag(H) + prior*I.
+
+    Per-coordinate diag scaling handles the rotation/translation (and
+    strong/weak direction) scale mismatch that a scalar lam*I cannot.
+    """
+    dg = jnp.clip(jnp.diagonal(H, axis1=-2, axis2=-1), 1e-4, None)  # (N, 6)
+    eye6 = jnp.eye(6, dtype=H.dtype)
+    return (
+        H
+        + lam * dg[..., None] * eye6
+        + (prior[:, None, None] + 1e-6) * eye6
+    )
+
+
+def _solve_jacobi(Sd: jax.Array, rhs: jax.Array) -> jax.Array:
+    """Solve Sd x = rhs with Jacobi (diagonal) preconditioning.
+
+    float32 on TPU cannot solve the raw reduced camera system (condition
+    ~1e10 from mixed rotation/translation scales); symmetric diagonal
+    scaling brings it into range.
+    """
+    d = jnp.clip(jnp.abs(jnp.diagonal(Sd)), 1e-8, None)
+    m = 1.0 / jnp.sqrt(d)
+    Ss = Sd * m[:, None] * m[None, :]
+    y = jnp.linalg.solve(Ss, rhs * m)
+    return y * m
+
+
 @partial(jax.jit, static_argnames=("iters", "tag_size"))
 def ba_optimize(
     state: BAState,
     Kmat: jax.Array,
     tag_size: float,
     iters: int = 8,
-    damping: float = 1e-3,
-    anchor_weight: float = 1e6,
+    huber_px: float = 4.0,
 ) -> BAState:
-    """Levenberg-Marquardt over keyframe + landmark poses (Schur-eliminated)."""
+    """Levenberg-Marquardt over keyframe + landmark poses (Schur-eliminated).
+
+    The LM damping lambda is read from and written back to the state, so
+    incremental per-frame calls continue the schedule.
+    """
     K = state.n_keyframes
     M = state.n_landmarks
     dtype = state.kf_pose.dtype
@@ -207,17 +267,34 @@ def ba_optimize(
     Kmat = Kmat.astype(dtype)
 
     okf = state.obs_ok.astype(dtype)
+    # Gauge: the 6-dof world-frame freedom is left to the Marquardt damping
+    # (the null-space direction has zero curvature, so its damped step is
+    # zero). Hard-freezing the anchor landmark instead would pin the whole
+    # map to the anchor's single-observation seed pose; consumers that need
+    # an anchor-relative pose conjugate by the anchor's REFINED pose, so the
+    # residual gauge drift cancels exactly (slam/pipeline.py BA branch).
+    lm_free = jnp.ones_like(okf)
+
+    def robust_cost(kf_p, lm_p):
+        def one(kf, lm, uv, w):
+            rr = _obs_residual(z6, z6, kf_p[kf], lm_p[lm], uv, obj, Kmat)
+            a = jnp.abs(rr)
+            # Huber loss value (not the IRLS quadratic): rho(a).
+            rho = jnp.where(a <= huber_px, rr * rr, huber_px * (2.0 * a - huber_px))
+            return jnp.sum(rho) * w
+        return jnp.sum(jax.vmap(one)(state.obs_kf, state.obs_lm, state.obs_uv, okf))
 
     def linearize(kf_pose, lm_pose):
-        def one(kf, lm, uv, w):
+        def one(kf, lm, uv, w, wl):
             Twc = kf_pose[kf]
             Twt = lm_pose[lm]
             r = _obs_residual(z6, z6, Twc, Twt, uv, obj, Kmat)
             Jc = jax.jacfwd(_obs_residual, argnums=0)(z6, z6, Twc, Twt, uv, obj, Kmat)
             Jl = jax.jacfwd(_obs_residual, argnums=1)(z6, z6, Twc, Twt, uv, obj, Kmat)
-            return r * w, Jc * w, Jl * w
+            wh = _huber_sqrt_weights(r, huber_px) * w  # (8,)
+            return r * wh, Jc * wh[:, None], Jl * wh[:, None] * wl
 
-        r, Jc, Jl = jax.vmap(one)(state.obs_kf, state.obs_lm, state.obs_uv, okf)
+        r, Jc, Jl = jax.vmap(one)(state.obs_kf, state.obs_lm, state.obs_uv, okf, lm_free)
         # Normal-equation blocks via segment sums.
         Hcc = jax.ops.segment_sum(
             jnp.einsum("ori,orj->oij", Jc, Jc), state.obs_kf, num_segments=K
@@ -230,21 +307,17 @@ def ba_optimize(
         # Coupling W: scatter per-obs (6,6) blocks into (K, M, 6, 6).
         Wkm = jnp.zeros((K, M, 6, 6), dtype)
         Wkm = Wkm.at[state.obs_kf, state.obs_lm].add(jnp.einsum("ori,orj->oij", Jc, Jl))
-        return r, Hcc, Hll, bc, bl, Wkm
-
-    eye6 = jnp.eye(6, dtype=dtype)
+        return Hcc, Hll, bc, bl, Wkm
 
     def lm_step(carry, _):
         kf_pose, lm_pose, lam = carry
-        r, Hcc, Hll, bc, bl, Wkm = linearize(kf_pose, lm_pose)
-        cost0 = jnp.sum(r * r)
+        Hcc, Hll, bc, bl, Wkm = linearize(kf_pose, lm_pose)
+        cost0 = robust_cost(kf_pose, lm_pose)
 
-        # Damping + gauge prior + inactive-slot stabilization.
-        anchor_mask = (jnp.arange(M) == state.anchor).astype(dtype)
-        lm_prior = anchor_weight * anchor_mask + (1.0 - state.lm_active.astype(dtype)) * 1e4
-        Hll_d = Hll + (lam + 1e-6) * eye6 + lm_prior[:, None, None] * eye6
+        lm_prior = (1.0 - state.lm_active.astype(dtype)) * 1e4
+        Hll_d = _damp_blocks(Hll, lam, lm_prior)
         kf_prior = (1.0 - state.kf_active.astype(dtype)) * 1e4
-        Hcc_d = Hcc + (lam + 1e-6) * eye6 + kf_prior[:, None, None] * eye6
+        Hcc_d = _damp_blocks(Hcc, lam, kf_prior)
 
         Hll_inv = jnp.linalg.inv(Hll_d)  # (M, 6, 6) batched
         # Reduced camera system S (K, K, 6, 6).
@@ -253,7 +326,7 @@ def ba_optimize(
         S = S.at[jnp.arange(K), jnp.arange(K)].add(Hcc_d)
         rhs = bc - jnp.einsum("kmab,mb->ka", WH, bl)  # (K, 6)
         Sd = S.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
-        dc = -jnp.linalg.solve(Sd, rhs.reshape(K * 6)).reshape(K, 6)
+        dc = -_solve_jacobi(Sd, rhs.reshape(K * 6)).reshape(K, 6)
         dl = -jnp.einsum("mab,mb->ma", Hll_inv, bl + jnp.einsum("kmab,ka->mb", Wkm, dc))
 
         kf_new = jax.vmap(lambda d, T: se3_exp(d) @ T)(dc, kf_pose)
@@ -261,25 +334,18 @@ def ba_optimize(
         kf_new = jnp.where(state.kf_active[:, None, None], kf_new, kf_pose)
         lm_new = jnp.where(state.lm_active[:, None, None], lm_new, lm_pose)
 
-        # Evaluate new cost; accept/reject (classic LM lambda schedule).
-        def cost_of(kf_p, lm_p):
-            def one(kf, lm, uv, w):
-                rr = _obs_residual(z6, z6, kf_p[kf], lm_p[lm], uv, obj, Kmat)
-                return jnp.sum(rr * rr) * w
-            return jnp.sum(jax.vmap(one)(state.obs_kf, state.obs_lm, state.obs_uv, okf))
-
-        cost1 = cost_of(kf_new, lm_new)
-        accept = cost1 < cost0
+        cost1 = robust_cost(kf_new, lm_new)
+        accept = (cost1 < cost0) & jnp.isfinite(cost1)
         kf_pose = jnp.where(accept, kf_new, kf_pose)
         lm_pose = jnp.where(accept, lm_new, lm_pose)
-        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
-        lam = jnp.clip(lam, 1e-8, 1e4)
+        lam = jnp.where(accept, lam * 0.3, lam * 5.0)
+        lam = jnp.clip(lam, 1e-7, 1e6)
         return (kf_pose, lm_pose, lam), cost1
 
-    (kf_pose, lm_pose, _), _ = jax.lax.scan(
-        lm_step, (state.kf_pose, state.lm_pose, jnp.asarray(damping, dtype)), None, length=iters
+    (kf_pose, lm_pose, lam), _ = jax.lax.scan(
+        lm_step, (state.kf_pose, state.lm_pose, state.lam), None, length=iters
     )
-    return replace(state, kf_pose=kf_pose, lm_pose=lm_pose)
+    return replace(state, kf_pose=kf_pose, lm_pose=lm_pose, lam=lam)
 
 
 def latest_pose(state: BAState) -> jax.Array:

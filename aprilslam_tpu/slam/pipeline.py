@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..detect import DetectorParams, detect_fn
 from ..families import TagFamily
-from ..geometry import PinholeCamera
+from ..geometry import PinholeCamera, se3_inverse as _se3_inverse
 from ..pose import poses_from_detections
 from .graph import GraphState, init_graph, update_graph, estimate_pose_average
 from .localize import joint_camera_pose
@@ -83,13 +83,19 @@ def build_slam_step(
 
     def slam_step(state, frames: jax.Array):
         det = detect(frames)
-        T_all, ok_all, _rms_all = poses_from_detections(det, K, tag_size, iters=pnp_iters)
+        T_all, ok_all, _rms_all, seed_all, T_alt_all = poses_from_detections(
+            det, K, tag_size, iters=pnp_iters
+        )
+        # Parity estimators replicate the reference's behaviour of trusting
+        # every PnP pose; the accurate estimators refuse to SEED the map from
+        # a planar-ambiguous pose (localization still uses all corners).
+        gate_seeding = estimator in ("joint", "ba")
 
         def per_frame(state, inp):
             graph, ba = state if use_ba else (state, None)
             M = graph.capacity
-            ids, T, ok, corners = inp
-            graph = update_graph(graph, ids, T, ok)
+            ids, T, T_alt, ok, seed, corners = inp
+            graph = update_graph(graph, ids, T, ok & seed if gate_seeding else ok)
             avg_T, avg_valid, graph = estimate_pose_average(
                 graph, project_rotation=(estimator != "reference_chain")
             )
@@ -104,19 +110,91 @@ def build_slam_step(
                 pose = jnp.where(avg_valid, T_wc, avg_T)
                 graph = _replace(graph, estimated_pose=pose)
             elif use_ba:
-                # Localize against the BA map when it has landmarks, else the
-                # chain estimate bootstraps.
-                corn_m, seen = scatter_frame(ids, ok, corners, ba.n_landmarks)
+                # PTAM-style split: BA is the MAPPING backend over selected
+                # keyframes; every frame's pose comes from joint localization
+                # against the refined landmark map. Making every frame a
+                # keyframe would evict old observations from the fixed-lag
+                # window and leave each pose constrained by only its own
+                # 1-2 tags.
+                #
+                # The camera pose used for keyframe insertion and landmark
+                # seeding is NEVER the chain average: it is derived from a
+                # branch-reliable (seed-ok) detection of an active landmark —
+                # or the anchor itself on the first frame — then jointly
+                # refined. A single planar-ambiguous link here poisons every
+                # landmark seeded downstream of it.
+                Ml = ba.n_landmarks
+                eye4 = jnp.eye(4, dtype=ba.lm_pose.dtype)
+                corn_m, seen = scatter_frame(ids, ok, corners, Ml)
                 use = seen & ba.lm_active
-                T_init, _ = joint_camera_pose(
-                    ba.lm_pose, use, corn_m, K, tag_size, avg_T, iters=joint_iters
+                idsc = jnp.clip(ids, 0, Ml - 1)
+                valid_id = (ids >= 0) & (ids < Ml)
+                BIG = jnp.int32(2**30)
+                anchor_eff = jnp.where(
+                    ba.anchor >= 0,
+                    ba.anchor,
+                    jnp.min(jnp.where(ok & seed & valid_id, ids, BIG)),
                 )
-                have_map = jnp.any(use)
-                T_init = jnp.where(have_map, T_init, avg_T)
-                ba = ba_add_frame(ba, ids, corners, ok, T_init, T)
-                ba = ba_optimize(ba, K, tag_size, iters=ba_iters_per_frame)
-                pose = latest_pose(ba)
-                pose = jnp.where(avg_valid, pose, avg_T)
+                mappable = ba.lm_active[idsc] | (ids == anchor_eff)
+                cand = ok & seed & valid_id & mappable
+                cand_loc = ok & valid_id & mappable
+                has_cand = jnp.any(cand)
+                # Prefer a branch-reliable candidate; fall back to any ok one.
+                c_idx = jnp.argmin(
+                    jnp.where(cand, ids, jnp.where(cand_loc, ids + Ml, BIG))
+                )
+                T_lm = jnp.where(
+                    ba.lm_active[idsc[c_idx]], ba.lm_pose[idsc[c_idx]], eye4
+                )
+
+                # Dual-init localization: with a single visible tag the joint
+                # GN inherits the planar branch of its init, so try BOTH
+                # PnP branches and keep the better fit (with >=2 tags the
+                # joint corner set disambiguates on its own).
+                def localize(lm_pose, umask, T_init_a, T_init_b):
+                    T_a, r_a = joint_camera_pose(
+                        lm_pose, umask, corn_m, K, tag_size, T_init_a,
+                        iters=joint_iters,
+                    )
+                    T_b, r_b = joint_camera_pose(
+                        lm_pose, umask, corn_m, K, tag_size, T_init_b,
+                        iters=joint_iters,
+                    )
+                    pick = r_a <= r_b
+                    return (
+                        jnp.where(pick, T_a, T_b),
+                        jnp.where(pick, r_a, r_b),
+                    )
+
+                T_wc0 = T_lm @ _se3_inverse(T[c_idx])
+                T_wc0b = T_lm @ _se3_inverse(T_alt[c_idx])
+                T_loc, _ = localize(ba.lm_pose, use, T_wc0, T_wc0b)
+                T_init = jnp.where(jnp.any(use), T_loc, T_wc0)
+
+                # Keyframe policy: adopt the frame while the window has free
+                # slots, or when it can seed a tag the map lacks — but only
+                # if its own pose is reliably anchored (has_cand).
+                seed_new = ok & seed & valid_id & ~ba.lm_active[idsc]
+                window_free = jnp.sum(ba.kf_active) < ba.n_keyframes
+                is_kf = has_cand & (jnp.any(seed_new) | window_free)
+
+                ba_kf = ba_add_frame(ba, ids, corners, ok, T_init, T, seed_ok=ok & seed)
+                ba_kf = ba_optimize(ba_kf, K, tag_size, iters=ba_iters_per_frame)
+                ba = jax.tree.map(
+                    lambda a, b: jnp.where(is_kf, a, b), ba_kf, ba
+                )
+
+                # Re-localize against the (possibly refreshed) map, and
+                # report in the anchor-tag frame (the GT comparison frame):
+                # the BA world frame is fixed at the anchor's seed pose,
+                # which may differ slightly from the anchor tag frame itself.
+                use = seen & ba.lm_active
+                pose_w, rms = localize(ba.lm_pose, use, T_init, T_wc0b)
+                a_slot = jnp.clip(ba.anchor, 0, Ml - 1)
+                T_wa = jnp.where(ba.anchor >= 0, ba.lm_pose[a_slot], eye4)
+                pose = _se3_inverse(T_wa) @ pose_w
+                ba_valid = jnp.any(use) & (jnp.any(cand_loc) | avg_valid)
+                pose = jnp.where(ba_valid, pose, avg_T)
                 graph = _replace(graph, estimated_pose=pose)
 
             out = SlamOutputs(
@@ -130,7 +208,7 @@ def build_slam_step(
             return ((graph, ba) if use_ba else graph), out
 
         state, outs = jax.lax.scan(
-            per_frame, state, (det.ids, T_all, ok_all, det.corners)
+            per_frame, state, (det.ids, T_all, T_alt_all, ok_all, seed_all, det.corners)
         )
         return state, outs
 

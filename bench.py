@@ -51,7 +51,7 @@ def main():
         cam,
         cfg.tag_size_inner,
         detector_params=DetectorParams(quad_decimate=2, min_cluster_pts=12),
-        estimator="joint",
+        estimator=os.environ.get("BENCH_ESTIMATOR", "ba"),
     )
     # NOTE: no donate_argnums — buffer donation trips an INVALID_ARGUMENT in
     # the axon TPU backend (verified empirically; works fine without).
@@ -83,7 +83,8 @@ def main():
     # Accuracy: ATE vs analytic GT in the anchor tag frame.
     import numpy as _np
 
-    anchor = int(state.coordinate_id)
+    graph_state = state[0] if isinstance(state, tuple) else state
+    anchor = int(graph_state.coordinate_id)
     ids = cfg.tag_ids()
     t_idx = int(_np.where(ids == anchor)[0][0]) if anchor in ids else 0
     gt = _np.asarray(

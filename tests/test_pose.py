@@ -96,7 +96,7 @@ class TestIntegration:
         rot = jnp.zeros((1, 3), jnp.float32)
         frames = render_frames(scene, pos, rot, jnp.asarray(cam.inv_matrix), 800, 800, 2)
         det = TagDetector(cfg.family, DetectorParams(quad_decimate=1)).detect(frames)
-        T, ok, rms = poses_from_detections(det, jnp.asarray(cam.matrix), cfg.tag_size_inner)
+        T, ok, rms, _seed, _alt = poses_from_detections(det, jnp.asarray(cam.matrix), cfg.tag_size_inner)
         T, ok = np.asarray(T), np.asarray(ok)
         assert ok[0].sum() >= 2
         gt = np.asarray(
