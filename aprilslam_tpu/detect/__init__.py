@@ -1,5 +1,5 @@
 from .threshold import to_grayscale, decimate, adaptive_threshold, adaptive_threshold_with_levels
-from .segment import connected_components
+from .segment import connected_components, connected_components_auto
 from .quads import quad_candidates, QuadCandidates
 from .decode import (
     Detections,
@@ -17,6 +17,7 @@ __all__ = [
     "adaptive_threshold",
     "adaptive_threshold_with_levels",
     "connected_components",
+    "connected_components_auto",
     "quad_candidates",
     "QuadCandidates",
     "Detections",

@@ -14,7 +14,7 @@ import jax
 
 from ..families import TagFamily, get_family
 from .threshold import to_grayscale, decimate, adaptive_threshold_with_levels
-from .segment import connected_components
+from .segment import connected_components, connected_components_auto
 from .quads import quad_candidates
 from .decode import decode_quads, Detections, FamilyTensors
 from .refine import refine_corners
@@ -29,9 +29,9 @@ class DetectorParams:
     min_contrast: float = 0.08
     scan_iters: int = 4
     jump_iters: int = 2
-    max_clusters: int = 256
-    max_quads: int = 48
-    pts_per_quad: int = 256
+    max_clusters: int = 128
+    max_quads: int = 32
+    pts_per_quad: int = 128
     min_cluster_pts: int = 20
     min_side: float = 3.0
     refine_iters: int = 2
@@ -39,7 +39,7 @@ class DetectorParams:
     max_hamming: int = 3
     min_level_contrast: float = 0.06
     max_detections: int = 32
-    max_boundary: int = 32768
+    max_boundary: int = 16384
     refine_edges: bool = True
     refine_samples: int = 12
     refine_range: float = 2.0
@@ -63,7 +63,7 @@ def detect_fn(family: str | TagFamily = "tagStandard41h12",
         trinary, level = adaptive_threshold_with_levels(
             dec, tile=p.tile, min_contrast=p.min_contrast
         )
-        labels = connected_components(trinary, p.scan_iters, p.jump_iters)
+        labels = connected_components_auto(trinary, p.scan_iters, p.jump_iters)
         quads = quad_candidates(
             trinary,
             labels,

@@ -1,0 +1,142 @@
+"""Connected-component labeling as a single Pallas TPU kernel.
+
+The XLA formulation (detect/segment.py) runs iterative min-label propagation
+as ~70 separate HBM-resident ops per frame batch: each associative-scan step
+and each pointer-jump gather reads and writes the full label image in HBM.
+Measured on TPU v5e it is ~60% of the whole detection pipeline (20 ms/frame
+at 500x500 decimated resolution).
+
+This kernel keeps one frame's labels in VMEM for the ENTIRE relaxation:
+
+* labels are linear pixel indices; unknown pixels hold a sentinel,
+* a segmented Hillis-Steele pass propagates the run-minimum along rows
+  (distance-doubling shifts with a connectivity mask that doubles with the
+  distance — O(log W) elementwise VMEM steps, both directions at once),
+* alternating row and column passes for ``rounds`` iterations connects
+  components of arbitrary rectilinear shape (a quad ring closes in 2).
+
+All shifts are ``pltpu.roll`` + an index mask (no gathers, no HBM traffic
+between steps). Grid = one program per frame; each program owns a
+(1, H, W) block in VMEM.
+
+Reference anchor: this replaces the union-find stage of the AprilTag C
+detector (apriltag.c's unionfind over the thresholded image), reformulated
+for a vector machine.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _ccl_kernel(rounds: int, trin_ref, out_ref):
+    trin = trin_ref[0]  # (H, W) int32: 0 black, 1 white, -1 unknown
+    H, W = trin.shape
+    big = jnp.int32(H * W)
+    one = jnp.int32(1)
+    zero = jnp.int32(0)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+
+    known = trin >= 0
+    lab = jnp.where(known, rows * W + cols, big)
+
+    def seg_scan_dir(lab, axis, size, direction):
+        """Propagate run-min from one side (direction=+1: from lower indices).
+
+        VMEM frugality: connectivity masks are recomputed from ``trin`` (one
+        roll + compare) instead of kept live across the whole kernel; no
+        boundary index masks are needed inside the loop — the element-0 (or
+        element-last) break in ``same`` zeroes every wrapped reach chain by
+        induction, so rolled-in garbage always carries weight 0. The
+        distance-doubling loop is a fori_loop with a DYNAMIC rotate amount —
+        unrolling it would give every intermediate plane its own Mosaic
+        stack slot and blow the 16 MB VMEM budget.
+        """
+        idx = cols if axis == 1 else rows
+        edge = (idx >= 1) if direction == 1 else (idx < size - 1)
+        same = jnp.where(
+            (trin == pltpu.roll(trin, 1 if direction == 1 else size - 1, axis=axis))
+            & (trin >= 0) & edge,
+            one,
+            zero,
+        )
+        n_steps = max(1, (size - 1).bit_length())  # d = 1, 2, ..., >= size/2
+
+        def step(i, carry):
+            lab, reach = carry
+            d = one << i
+            shift = jnp.where(direction == 1, d % size, (size - d) % size)
+            lab_n = pltpu.roll(lab, shift, axis=axis)
+            lab = jnp.minimum(lab, jnp.where(reach == 1, lab_n, big))
+            reach = reach * pltpu.roll(reach, shift, axis=axis)
+            return lab, reach
+
+        lab, _ = jax.lax.fori_loop(0, n_steps, step, (lab, same))
+        return lab
+
+    def one_round(_, lab):
+        lab = seg_scan_dir(lab, axis=1, size=W, direction=1)
+        lab = seg_scan_dir(lab, axis=1, size=W, direction=-1)
+        lab = seg_scan_dir(lab, axis=0, size=H, direction=1)
+        lab = seg_scan_dir(lab, axis=0, size=H, direction=-1)
+        return lab
+
+    lab = jax.lax.fori_loop(0, rounds, one_round, lab)
+    out_ref[0] = jnp.where(known, lab, big)
+
+
+@partial(jax.jit, static_argnames=("rounds", "interpret"))
+def connected_components_pallas(
+    trinary: jax.Array,  # (B, H, W) int8/int32: 0 black, 1 white, -1 unknown
+    rounds: int = 4,
+    interpret: bool = False,
+) -> jax.Array:
+    """Label same-colour connected regions. Returns (B, H, W) int32 labels:
+    min linear index of the component per pixel, sentinel H*W for unknown.
+
+    Bit-compatible with detect/segment.connected_components at convergence.
+    """
+    B, H, W = trinary.shape
+    Hp = _round_up(H, 8)
+    Wp = _round_up(W, 128)
+    t = trinary.astype(jnp.int32)
+    if (Hp, Wp) != (H, W):
+        t = jnp.pad(t, ((0, 0), (0, Hp - H), (0, Wp - W)), constant_values=-1)
+
+    labels = pl.pallas_call(
+        partial(_ccl_kernel, rounds),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, Wp), jnp.int32),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Hp, Wp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, Hp, Wp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(t)
+
+    lab = labels[:, :H, :W]
+    # Convert padded linear indices back to unpadded ones. Both index maps
+    # are lexicographic in (row, col), so the per-component argmin pixel is
+    # unchanged by the conversion.
+    known = trinary >= 0
+    return jnp.where(known, (lab // Wp) * W + (lab % Wp), jnp.int32(H * W))
+
+
+def pallas_ccl_supported(shape: tuple[int, int, int]) -> bool:
+    """VMEM budget check: one program holds ~6 (Hp, Wp) int32/bool planes."""
+    _, H, W = shape
+    Hp, Wp = _round_up(H, 8), _round_up(W, 128)
+    return Hp * Wp * 4 * 8 <= 12 * 1024 * 1024

@@ -1,0 +1,50 @@
+"""Pallas kernel tests (interpret mode — runnable on the CPU test platform)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from aprilslam_tpu.detect.segment import connected_components
+from aprilslam_tpu.ops import connected_components_pallas, pallas_ccl_supported
+
+
+class TestPallasCCL:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_xla_labels_exactly(self, seed):
+        """Same partition AND same label values as the converged XLA path."""
+        rng = np.random.default_rng(seed)
+        B, H, W = 2, 40, 52
+        base = rng.integers(-1, 2, size=(B, H // 4, W // 4)).astype(np.int8)
+        t = jnp.asarray(np.repeat(np.repeat(base, 4, axis=1), 4, axis=2))
+        ref = np.asarray(connected_components(t, scan_iters=8, jump_iters=2))
+        got = np.asarray(connected_components_pallas(t, rounds=8, interpret=True))
+        np.testing.assert_array_equal(ref, got)
+
+    def test_quad_ring_two_rounds(self):
+        """A hollow quad ring (the tag border shape) closes in 2 rounds."""
+        t = np.full((1, 24, 32), -1, np.int8)
+        t[0, 4:20, 6:26] = 0  # black ring
+        t[0, 8:16, 10:22] = 1  # white interior
+        lab = np.asarray(
+            connected_components_pallas(jnp.asarray(t), rounds=2, interpret=True)
+        )[0]
+        ring = lab[t[0] == 0]
+        interior = lab[t[0] == 1]
+        assert len(set(ring.tolist())) == 1
+        assert len(set(interior.tolist())) == 1
+        assert ring[0] != interior[0]
+        assert (lab[t[0] == -1] == 24 * 32).all()
+
+    def test_unknown_never_merges(self):
+        t = np.full((1, 16, 128), 1, np.int8)
+        t[0, :, 60:64] = -1  # unknown wall splits the white region
+        lab = np.asarray(
+            connected_components_pallas(jnp.asarray(t), rounds=4, interpret=True)
+        )[0]
+        left = set(lab[:, :60].ravel().tolist())
+        right = set(lab[:, 64:].ravel().tolist())
+        assert len(left) == 1 and len(right) == 1 and left != right
+
+    def test_vmem_budget_gate(self):
+        assert pallas_ccl_supported((8, 500, 500))
+        assert not pallas_ccl_supported((1, 2048, 2048))
