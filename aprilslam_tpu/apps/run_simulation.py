@@ -44,6 +44,16 @@ def parse_arguments(argv=None):
                    help="directory to save visualizer snapshots (map/graph/error)")
     p.add_argument("--headless", action="store_true", help="no dashboard printing")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="directory for SLAM-state checkpoints (orbax)")
+    p.add_argument("--checkpoint-every", type=int, default=32,
+                   help="checkpoint interval in frames")
+    p.add_argument("--resume", action="store_true",
+                   help="resume SLAM state from the latest checkpoint in "
+                        "--checkpoint-dir")
+    p.add_argument("--interactive", action="store_true",
+                   help="manual camera control from the terminal (WASD/QE + "
+                        "IJKL/UO keys, reference camera_controller.py:65-103)")
     return p.parse_args(argv)
 
 
@@ -92,7 +102,10 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     from ..geometry import PinholeCamera
-    from ..sim import SceneConfig, scene_tensors, render_frames, camera_in_tag_frames, trajectory
+    from ..sim import (
+        SceneConfig, scene_tensors, render_frames,
+        camera_in_tag_frames, camera_to_tag_transforms, trajectory,
+    )
     from ..detect import DetectorParams
     from ..slam import SlamSystem, average_distance_to_nodes
     from ..eval import DataLogger, trajectory_report
@@ -138,35 +151,111 @@ def main(argv=None) -> int:
     K_inv = jnp.asarray(cam.inv_matrix)
     tag_pos = jnp.asarray(cfg.tag_positions())
     tag_rot = jnp.asarray(cfg.tag_rotations())
+    ids = cfg.tag_ids()
+    id_to_idx = {int(t): i for i, t in enumerate(ids)}
+    tag_pos_np = np.asarray(cfg.tag_positions())
     est_all, gt_all, valid_all = [], [], []
 
+    ckpt = None
+    if args.checkpoint_dir:
+        from ..utils.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(args.checkpoint_dir)
+        if args.resume:
+            try:
+                step0 = ckpt.latest_step()
+                slam.state = ckpt.restore(slam.state)
+                log.info(f"Resumed SLAM state from checkpoint step {step0}")
+            except FileNotFoundError:
+                log.warning(f"--resume: no checkpoint under {args.checkpoint_dir}; "
+                            "starting fresh")
+
+    icam = None
+    keyreader = None
+    if args.interactive:
+        from ..sim.interactive import InteractiveCamera, TerminalKeys, HELP
+
+        icam = InteractiveCamera(size_scale=cfg.size_scale,
+                                 position=(0.0, 0.0, 25.0))
+        keyreader = TerminalKeys().__enter__()
+        print(HELP)
+
+    def chunk_poses(s):
+        """(pos, rot) numpy chunks for frames [s, s+batch)."""
+        if icam is None:
+            return traj.positions[s : s + args.batch], traj.rotations[s : s + args.batch]
+        ps, rs = [], []
+        for _ in range(args.batch):
+            icam.apply_keys(keyreader.read_available(timeout=0.02))
+            ps.append(icam.position.copy())
+            rs.append(icam.rotation.copy())
+        return np.stack(ps), np.stack(rs)
+
     t_start = time.time()
+    last_node_gt = {}
     with DataLogger(args.output_dir) as dlog:
         for s in range(0, n, args.batch):
-            pos = jnp.asarray(traj.positions[s : s + args.batch])
-            rot = jnp.asarray(traj.rotations[s : s + args.batch])
+            pos_np, rot_np = chunk_poses(s)
+            pos = jnp.asarray(pos_np)
+            rot = jnp.asarray(rot_np)
             frames = render_frames(scene, pos, rot, K_inv, res, res, 2)
             outs = slam.process(frames)
             anchor = slam.coordinate_id
-            ids = cfg.tag_ids()
+            # GT transforms for ALL tags at this chunk's camera poses:
+            # per-frame pose GT + per-node error attribution share them.
+            gt_tags = np.asarray(camera_to_tag_transforms(tag_pos, tag_rot, pos, rot))
             if anchor in ids:
-                t_idx = int(np.where(ids == anchor)[0][0])
-                gt = np.asarray(camera_in_tag_frames(tag_pos, tag_rot, pos, rot))[:, t_idx]
+                a_idx = id_to_idx[anchor]
+                gt = np.asarray(camera_in_tag_frames(tag_pos, tag_rot, pos, rot))[:, a_idx]
             else:
+                a_idx = None
                 gt = np.broadcast_to(np.eye(4), (args.batch, 4, 4))
             est = np.asarray(outs.poses)
             valid = np.asarray(outs.valid)
             nn = np.asarray(outs.n_nodes)
             ad = np.asarray(outs.avg_node_distance)
+            rms = np.asarray(outs.reproj_rms)
+            node_vis = np.asarray(outs.node_visible)
+            node_w = np.asarray(outs.node_weight)
+            node_local = np.asarray(outs.node_local)
+            node_world = np.asarray(outs.node_world)
             for b in range(args.batch):
                 if not valid[b]:
                     continue
-                frame_i = s + b
                 dlog.log_frame(est[b], gt[b], int(nn[b]), float(ad[b]),
-                               t=time.time() - t_start)
+                               t=time.time() - t_start, reproj_rms=float(rms[b]))
                 est_all.append(est[b])
                 gt_all.append(gt[b])
+                # Per-visible-node error attribution (reference
+                # simulation_engine.py:302-356): GT camera->tag transform,
+                # GT tag->anchor distance, |est - GT| distance errors.
+                if a_idx is not None:
+                    for tid in np.nonzero(node_vis[b])[0]:
+                        t_i = id_to_idx.get(int(tid))
+                        if t_i is None:
+                            continue
+                        gt_local = gt_tags[b, t_i]
+                        gt_world_dist = float(
+                            np.linalg.norm(tag_pos_np[t_i] - tag_pos_np[a_idx])
+                        )
+                        loc = node_local[b, tid]
+                        wor = node_world[b, tid]
+                        err_local = abs(float(np.linalg.norm(loc[:3, 3]))
+                                        - float(np.linalg.norm(gt_local[:3, 3])))
+                        err_world = abs(float(np.linalg.norm(wor[:3, 3])) - gt_world_dist)
+                        t_err = float(np.linalg.norm(loc[:3, 3] - gt_local[:3, 3]))
+                        dlog.log_node(float(node_w[b, tid]), loc, wor, gt_local,
+                                      err_world, err_local, t_err)
+                        last_node_gt[int(tid)] = (
+                            gt_world_dist, float(np.linalg.norm(gt_local[:3, 3]))
+                        )
             valid_all.append(valid)
+            if ckpt is not None and ((s + args.batch) % max(args.checkpoint_every, args.batch) == 0
+                                     or s + args.batch >= n):
+                ckpt.save(s + args.batch, slam.state)
+            if icam is not None and icam.quit:
+                log.info("Interactive session ended by user (x).")
+                break
 
             if not args.headless and valid.any():
                 b = int(np.nonzero(valid)[0][-1])
@@ -188,10 +277,22 @@ def main(argv=None) -> int:
 
         stats = dlog.get_statistics()
 
+    if keyreader is not None:
+        keyreader.__exit__()
+    if ckpt is not None:
+        ckpt.close()
+
     if viz is not None:
         gstate = slam.graph_state
         viz.vis_slam(gstate, save_path=os.path.join(args.save_viz, "map3d.png"))
         viz.slam_graph(gstate, save_path=os.path.join(args.save_viz, "graph.png"))
+        if last_node_gt:
+            viz.error_graph(
+                gstate,
+                gt_world_dist={t: v[0] for t, v in last_node_gt.items()},
+                gt_local_dist={t: v[1] for t, v in last_node_gt.items()},
+                save_path=os.path.join(args.save_viz, "error_graph.png"),
+            )
 
     if est_all:
         rep = trajectory_report(

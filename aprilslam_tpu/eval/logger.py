@@ -24,7 +24,7 @@ MAIN_HEADER = [
     "Time", "Number_of_Nodes", "Average_Distance",
     "Est_X", "Est_Y", "Est_Z", "Est_Roll", "Est_Pitch", "Est_Yaw",
     "GT_X", "GT_Y", "GT_Z", "GT_Roll", "GT_Pitch", "GT_Yaw",
-    "Translation_Difference", "Rotation_Difference",
+    "Translation_Difference", "Rotation_Difference", "Reproj_RMS",
 ]
 
 ERROR_HEADER = [
@@ -82,6 +82,7 @@ class DataLogger:
         n_nodes: int,
         avg_distance: float,
         t: float | None = None,
+        reproj_rms: float = 0.0,
     ) -> None:
         te = float(np.linalg.norm(est_pose[:3, 3] - gt_pose[:3, 3]))
         re = float(np.linalg.norm(est_pose[:3, :3] - gt_pose[:3, :3], "fro"))
@@ -98,6 +99,7 @@ class DataLogger:
                 *[round(float(v), 6) for v in ge],
                 round(te, 6),
                 round(re, 6),
+                round(float(reproj_rms), 6),
             ]
         )
         self._frames += 1

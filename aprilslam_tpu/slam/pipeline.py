@@ -30,7 +30,10 @@ Estimator = Literal["reference_chain", "chain_avg", "joint", "ba"]
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["poses", "valid", "reproj_rms", "n_visible", "n_nodes", "avg_node_distance"],
+    data_fields=[
+        "poses", "valid", "reproj_rms", "n_visible", "n_nodes", "avg_node_distance",
+        "node_visible", "node_weight", "node_local", "node_world",
+    ],
     meta_fields=[],
 )
 @dataclass(frozen=True)
@@ -41,6 +44,12 @@ class SlamOutputs:
     n_visible: jax.Array  # (B,) visible mapped tags
     n_nodes: jax.Array  # (B,) graph size after the frame
     avg_node_distance: jax.Array  # (B,) parity with slam.py:65-80
+    # Per-frame node snapshots for error attribution (the reference logs
+    # these per visible node every frame, simulation_engine.py:302-356).
+    node_visible: jax.Array  # (B, M) bool
+    node_weight: jax.Array  # (B, M) chain depth
+    node_local: jax.Array  # (B, M, 4, 4) tag->camera at last observation
+    node_world: jax.Array  # (B, M, 4, 4) tag->world
 
 
 def build_slam_step(
@@ -204,6 +213,10 @@ def build_slam_step(
                 n_visible=jnp.sum(graph.visible),
                 n_nodes=jnp.sum(graph.present),
                 avg_node_distance=average_distance_to_nodes(graph),
+                node_visible=graph.visible,
+                node_weight=graph.weight,
+                node_local=graph.local,
+                node_world=graph.world,
             )
             return ((graph, ba) if use_ba else graph), out
 

@@ -49,6 +49,93 @@ class TestSimCli:
         rc = sim_main(["--config", str(bad), "--headless"])
         assert rc == 2
 
+    def test_node_analysis_csvs_populated(self, tmp_path):
+        """A live run must fill error_analysis.csv / covariance_analysis.csv
+        (reference simulation_engine.py:302-356), and the offline analytics
+        must run on the fresh output."""
+        out_dir = str(tmp_path / "csv")
+        rc = sim_main([
+            "--frames", "12", "--batch", "4", "--resolution", "256",
+            "--estimator", "chain_avg", "--headless",
+            "--decimate", "1", "--trajectory", "line",
+            "--output-dir", out_dir,
+            "--save-viz", str(tmp_path / "viz"),
+        ])
+        assert rc == 0
+        import csv as _csv
+
+        err_csv = os.path.join(out_dir, "error_analysis.csv")
+        cov_csv = os.path.join(out_dir, "covariance_analysis.csv")
+        with open(err_csv) as f:
+            err_rows = list(_csv.DictReader(f))
+        with open(cov_csv) as f:
+            cov_rows = list(_csv.DictReader(f))
+        assert len(err_rows) > 0, "error_analysis.csv has no data rows"
+        assert len(cov_rows) > 0, "covariance_analysis.csv has no data rows"
+        # Main CSV gained the per-frame reprojection RMS column.
+        with open(os.path.join(out_dir, "slam_simulation_data.csv")) as f:
+            main_rows = list(_csv.DictReader(f))
+        assert "Reproj_RMS" in main_rows[0]
+
+        from aprilslam_tpu.eval import covariance_report
+
+        rep = covariance_report(cov_csv)
+        assert "Tag_Est_X" in rep
+        # The error graph snapshot must have been produced.
+        assert os.path.exists(str(tmp_path / "viz" / "error_graph.png"))
+
+    def test_checkpoint_resume(self, tmp_path):
+        out_dir = str(tmp_path / "csv")
+        ckpt_dir = str(tmp_path / "ckpt")
+        common = [
+            "--frames", "8", "--batch", "4", "--resolution", "256",
+            "--estimator", "chain_avg", "--headless",
+            "--decimate", "1", "--trajectory", "line",
+            "--output-dir", out_dir,
+            "--checkpoint-dir", ckpt_dir, "--checkpoint-every", "4",
+        ]
+        assert sim_main(common) == 0
+        assert os.listdir(ckpt_dir), "no checkpoint written"
+        # Resume must load the saved graph (anchor already set) and still run.
+        rc = sim_main(common + ["--resume"])
+        assert rc == 0
+
+
+class TestInteractiveCamera:
+    def test_key_mapping(self):
+        from aprilslam_tpu.sim.interactive import InteractiveCamera
+
+        c = InteractiveCamera(movement_speed=0.5, rotation_speed=2.0, size_scale=2.0)
+        c.apply_keys("ll")  # x += 2 * speed
+        assert np.isclose(c.position[0], 2.0)
+        c.apply_keys("w")
+        assert np.isclose(c.position[2], -1.0)
+        c.apply_keys("ik")  # y up then down cancels
+        assert np.isclose(c.position[1], 0.0)
+        c.apply_keys("dd")  # yaw +4 deg
+        assert np.isclose(c.rotation[1], 4.0)
+        c.apply_keys("q")
+        assert np.isclose(c.rotation[2], -2.0)
+        c.apply_keys("r")
+        assert np.isclose(c.rotation[0], 2.0)
+        assert not c.quit
+        c.apply_key("x")
+        assert c.quit
+
+    def test_interactive_run_headless(self, tmp_path, monkeypatch):
+        """--interactive with no tty: keys come from a pipe; the run still
+        completes end to end."""
+        import io
+
+        monkeypatch.setattr("sys.stdin", io.StringIO("llwwaa" * 10))
+        rc = sim_main([
+            "--frames", "4", "--batch", "2", "--resolution", "256",
+            "--estimator", "chain_avg", "--headless", "--interactive",
+            "--decimate", "1",
+            "--output-dir", str(tmp_path / "csv"),
+        ])
+        assert rc in (0, 1)  # pose validity depends on where the user drove
+
 
 class TestVerifyCli:
     def test_verify_install_passes(self, capsys):

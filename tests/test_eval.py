@@ -83,7 +83,7 @@ class TestLogger:
             rows = list(csv.reader(f))
         assert rows[0] == MAIN_HEADER
         assert len(rows) == 13
-        assert len(rows[1]) == 17
+        assert len(rows[1]) == 18  # reference's 17 + Reproj_RMS
         with open(os.path.join(d, "error_analysis.csv")) as f:
             rows = list(csv.reader(f))
         assert len(rows[1]) == 22
