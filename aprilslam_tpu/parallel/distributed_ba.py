@@ -4,7 +4,7 @@ Decomposition (the Schur-complement structure makes this natural):
 
 * Landmark slots are partitioned over the ``lm`` mesh axis; each observation
   is OWNED by the device holding its landmark. All per-observation work —
-  residuals, Jacobians, H_ll blocks, W coupling blocks — happens exactly once
+  residuals, Jacobians, H_ll blocks, coupling blocks — happens exactly once
   on the owner.
 * Camera-side quantities (H_cc, b_c) and the Schur-reduced camera system
   S = H_cc - W H_ll^-1 W^T are partial sums over observations, so one
@@ -14,14 +14,26 @@ Decomposition (the Schur-complement structure makes this natural):
   device back-substitutes only its own landmark updates. No other
   communication is needed — per LM iteration exactly two psums (S, rhs) plus
   one cost psum ride the ICI.
+* The Schur assembly is SPARSE: per-observation coupling blocks grouped by
+  landmark (slam/ba.py lm_obs_grid/schur_sparse), O(M_local * P^2) work and
+  no (K, M, 6, 6) tensor — this is what lets the map scale to 10k+ landmarks
+  (SURVEY §7 hard part 4).
 
 This is the ≥80%-scaling design: the O(#obs) linearization and O(#landmarks)
 block inversions shard perfectly; the psum payload is K^2*36 + K*6 floats
 regardless of map size.
+
+With ``data_axis`` set, the same kernel runs over a 2-D (data × lm) mesh:
+independent sequences (or map sections) shard over ``data`` — across hosts /
+DCN in a multi-process run — while each sequence's landmarks shard over
+``lm`` (ICI). The psums stay on the ``lm`` axis only, so no traffic crosses
+the data axis during optimization.
 """
 
 from __future__ import annotations
 
+import logging
+import warnings
 from dataclasses import replace
 from functools import partial
 
@@ -32,21 +44,46 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..geometry import se3_exp, tag_object_corners
-from ..slam.ba import BAState, _obs_residual, _huber_sqrt_weights, _damp_blocks, _solve_jacobi
+from ..slam.ba import (
+    BAState,
+    _obs_residual,
+    _huber_sqrt_weights,
+    _damp_blocks,
+    _solve_jacobi,
+    lm_obs_grid,
+    schur_sparse,
+    backsub_sparse,
+)
+
+logger = logging.getLogger(__name__)
 
 
-def shard_observations_by_owner(state: BAState, n_shards: int) -> BAState:
+def shard_observations_by_owner(state: BAState, n_shards: int,
+                                fit: bool = False) -> BAState:
     """Reorder the observation ring so each contiguous block holds the
-    observations owned by one landmark shard (host-side prep; the arrays
-    stay the same size, invalid slots padded per shard).
+    observations owned by one landmark shard (host-side prep; by default the
+    arrays stay the same size, invalid slots padded per shard).
 
     Each shard owns landmark slots [s * M/n, (s+1) * M/n). Observations are
-    bucketed by owner into equal-size blocks of O/n (overflow dropped with a
-    warning — size the ring generously).
+    bucketed by owner into equal-size blocks of O/n. Overflowing a block
+    DROPS observations from the problem — that silently weakens BA, so it
+    is surfaced as a real warning with the count; size the ring so it never
+    fires (or rebalance the landmark partition).
+
+    ``fit=True`` instead GROWS the ring so every observation fits: the block
+    size becomes the largest shard's count (padded to a multiple of 8), and
+    nothing is ever dropped. Use it for host-side batch solves; the fixed-
+    capacity default is for in-pipeline rings whose shapes must not change.
     """
     M = state.n_landmarks
     O = state.n_obs_capacity
-    per = O // n_shards
+    if fit:
+        owners = np.asarray(state.obs_lm)[np.asarray(state.obs_ok)] // max(M // n_shards, 1)
+        per = int(np.bincount(owners, minlength=n_shards).max()) if owners.size else 1
+        per = max(8, -8 * (-per // 8))  # round up to a multiple of 8
+        O = per * n_shards
+    else:
+        per = O // n_shards
     lm_owner = np.asarray(state.obs_lm) // max(M // n_shards, 1)
     ok = np.asarray(state.obs_ok)
 
@@ -57,13 +94,24 @@ def shard_observations_by_owner(state: BAState, n_shards: int) -> BAState:
     kf = np.asarray(state.obs_kf)
     lm = np.asarray(state.obs_lm)
     uv = np.asarray(state.obs_uv)
+    dropped = 0
     for s in range(n_shards):
-        idx = np.nonzero(ok & (lm_owner == s))[0][:per]
+        idx_all = np.nonzero(ok & (lm_owner == s))[0]
+        dropped += max(0, len(idx_all) - per)
+        idx = idx_all[:per]
         dst = slice(s * per, s * per + len(idx))
         new_kf[dst] = kf[idx]
         new_lm[dst] = lm[idx]
         new_uv[dst] = uv[idx]
         new_ok[dst] = True
+    if dropped:
+        msg = (
+            f"shard_observations_by_owner: {dropped} observation(s) exceed the "
+            f"per-shard block of {per} and were DROPPED from BA — grow n_obs "
+            f"(capacity {O}) or rebalance the landmark partition."
+        )
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        logger.warning(msg)
     return replace(
         state,
         obs_kf=jnp.asarray(new_kf),
@@ -83,42 +131,46 @@ def build_distributed_ba(
     iters: int = 8,
     damping: float = 1e-2,
     huber_px: float = 4.0,
+    max_obs_per_lm: int = 0,
+    data_axis: str | None = None,
 ):
     """Returns a jitted ``fn(state_sharded, Kmat) -> state_sharded`` running
     LM-BA with landmarks + observations sharded over ``axis``.
 
     ``state_sharded`` must have obs blocks grouped by owner
     (shard_observations_by_owner) and landmark arrays shardable by slot.
+
+    With ``data_axis`` set, every state array carries a leading sequence
+    dimension sharded over that mesh axis (2-D data x lm mesh): each
+    sequence runs its own BA, landmark-sharded over ``axis``; use
+    ``stack_ba_states`` to build the batched state.
     """
     n_dev = mesh.shape[axis]
     K = n_keyframes
     M = n_landmarks
     Ml = M // n_dev  # local landmarks per device
+    Pcap = max_obs_per_lm or K
 
     def local_step(
-        kf_pose,  # (K, 4, 4) replicated
+        grid,  # (Ml, P) obs-by-landmark grouping (fixed across iterations)
+        kf_pose,  # (K, 4, 4) replicated over lm
         lm_pose,  # (Ml, 4, 4) local shard
         lm_active,  # (Ml,)
         kf_active,  # (K,) replicated
         obs_kf,  # (Ol,) local
-        obs_lm,  # (Ol,) GLOBAL landmark ids of local obs
+        obs_lm_local,  # (Ol,) LOCAL landmark ids of local obs
         obs_uv,  # (Ol, 4, 2)
         obs_ok,  # (Ol,)
-        anchor,  # () replicated
         lam,
         Kmat,
     ):
-        me = jax.lax.axis_index(axis)
-        base = me * Ml
-        obs_lm_local = obs_lm - base  # local indices within this shard
         obj = tag_object_corners(tag_size, dtype=jnp.float32)
         z6 = jnp.zeros(6, jnp.float32)
         w = obs_ok.astype(jnp.float32)
         # Gauge left to Marquardt damping; anchor-relative consumers
         # conjugate by the refined anchor pose (see slam/ba.py).
-        lm_free = jnp.ones_like(w)
 
-        def one(kf, lml, uv, ww, wl):
+        def one(kf, lml, uv, ww):
             lml = jnp.clip(lml, 0, Ml - 1)
             Twc = kf_pose[kf]
             Twt = lm_pose[lml]
@@ -126,9 +178,9 @@ def build_distributed_ba(
             Jc = jax.jacfwd(_obs_residual, argnums=0)(z6, z6, Twc, Twt, uv, obj, Kmat)
             Jl = jax.jacfwd(_obs_residual, argnums=1)(z6, z6, Twc, Twt, uv, obj, Kmat)
             wh = _huber_sqrt_weights(r, huber_px) * ww
-            return r * wh, Jc * wh[:, None], Jl * wh[:, None] * wl
+            return r * wh, Jc * wh[:, None], Jl * wh[:, None]
 
-        r, Jc, Jl = jax.vmap(one)(obs_kf, obs_lm_local, obs_uv, w, lm_free)
+        r, Jc, Jl = jax.vmap(one)(obs_kf, obs_lm_local, obs_uv, w)
 
         def robust_cost_of(kf_p, lm_p):
             def one_rho(kf, lml, uv, ww):
@@ -141,36 +193,39 @@ def build_distributed_ba(
                 jnp.sum(jax.vmap(one_rho)(obs_kf, obs_lm_local, obs_uv, w)), axis
             )
 
+        lml_safe = jnp.clip(obs_lm_local, 0, Ml - 1)
         Hcc = jax.ops.segment_sum(jnp.einsum("ori,orj->oij", Jc, Jc), obs_kf, num_segments=K)
         bc = jax.ops.segment_sum(jnp.einsum("ori,or->oi", Jc, r), obs_kf, num_segments=K)
-        lml_safe = jnp.clip(obs_lm_local, 0, Ml - 1)
         Hll = jax.ops.segment_sum(jnp.einsum("ori,orj->oij", Jl, Jl), lml_safe, num_segments=Ml)
         bl = jax.ops.segment_sum(jnp.einsum("ori,or->oi", Jl, r), lml_safe, num_segments=Ml)
-        Wkm = jnp.zeros((K, Ml, 6, 6), jnp.float32)
-        Wkm = Wkm.at[obs_kf, lml_safe].add(jnp.einsum("ori,orj->oij", Jc, Jl))
+        A = jnp.einsum("ori,orj->oij", Jc, Jl)  # per-obs coupling blocks
 
-        # Damping + inactive-slot priors (the anchor's Jl is already zeroed).
+        # Damping + inactive-slot priors.
         lm_prior = (1.0 - lm_active.astype(jnp.float32)) * 1e4
         Hll_d = _damp_blocks(Hll, lam, lm_prior)
         Hll_inv = jnp.linalg.inv(Hll_d)
 
-        WH = jnp.einsum("kmab,mbc->kmac", Wkm, Hll_inv)
-        S_part = -jnp.einsum("kmac,lmdc->klad", WH, Wkm)  # (K, K, 6, 6)
-        rhs_part = bc - jnp.einsum("kmab,mb->ka", WH, bl)
-
-        # Assemble camera-side quantities across shards.
+        kf_prior = (1.0 - kf_active.astype(jnp.float32)) * 1e4
+        # Hcc damping must be applied to the FULL (psum'd) Hcc, so damp a
+        # zero block locally and add the assembled Hcc afterwards.
         Hcc_full = jax.lax.psum(Hcc, axis)
-        S = jax.lax.psum(S_part, axis)
-        rhs = jax.lax.psum(rhs_part, axis)
+        Hcc_d = _damp_blocks(Hcc_full, lam, kf_prior)
+
+        # Sparse Schur assembly on local blocks, then psum the partial
+        # reduced system (diag Hcc_d added once after the psum).
+        zero_d = jnp.zeros_like(Hcc_d)
+        S_part, rhs_part = schur_sparse(
+            grid, A, obs_kf, lml_safe, Hll_inv, zero_d, bc, bl, K
+        )
         cost0 = robust_cost_of(kf_pose, lm_pose)
 
-        kf_prior = (1.0 - kf_active.astype(jnp.float32)) * 1e4
-        Hcc_d = _damp_blocks(Hcc_full, lam, kf_prior)
+        S = jax.lax.psum(S_part, axis)
+        rhs = jax.lax.psum(rhs_part, axis)
         S = S.at[jnp.arange(K), jnp.arange(K)].add(Hcc_d)
         Sd = S.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
         dc = -_solve_jacobi(Sd, rhs.reshape(K * 6)).reshape(K, 6)
 
-        dl = -jnp.einsum("mab,mb->ma", Hll_inv, bl + jnp.einsum("kmab,ka->mb", Wkm, dc))
+        dl = backsub_sparse(A, obs_kf, lml_safe, Hll_inv, bl, dc, Ml)
 
         kf_new = jax.vmap(lambda d, T: se3_exp(d) @ T)(dc, kf_pose)
         kf_new = jnp.where(kf_active[:, None, None], kf_new, kf_pose)
@@ -184,37 +239,87 @@ def build_distributed_ba(
         lam = jnp.clip(jnp.where(accept, lam * 0.3, lam * 5.0), 1e-7, 1e6)
         return kf_pose, lm_pose, lam, cost1
 
-    def sharded_fn(kf_pose, kf_active, anchor, lm_pose, lm_active,
-                   obs_kf, obs_lm, obs_uv, obs_ok, Kmat):
+    def one_sequence(kf_pose, kf_active, lm_pose, lm_active,
+                     obs_kf, obs_lm, obs_uv, obs_ok, Kmat):
+        me = jax.lax.axis_index(axis)
+        obs_lm_local = obs_lm - me * Ml
+        grid, _ = lm_obs_grid(obs_lm_local, obs_ok, Ml, Pcap)
+
         def body(carry, _):
             kf, lm, lam = carry
             kf, lm, lam, cost = local_step(
-                kf, lm, lm_active, kf_active, obs_kf, obs_lm, obs_uv, obs_ok,
-                anchor, lam, Kmat,
+                grid, kf, lm, lm_active, kf_active, obs_kf, obs_lm_local,
+                obs_uv, obs_ok, lam, Kmat,
             )
             return (kf, lm, lam), cost
+
         init = (kf_pose, lm_pose, jnp.float32(damping))
         (kf, lm, _), costs = jax.lax.scan(body, init, None, length=iters)
         return kf, lm, costs[-1]
 
-    rep = P()
-    lm_spec = P(axis)
+    if data_axis is None:
+        def sharded_fn(kf_pose, kf_active, lm_pose, lm_active,
+                       obs_kf, obs_lm, obs_uv, obs_ok, Kmat):
+            return one_sequence(kf_pose, kf_active, lm_pose, lm_active,
+                                obs_kf, obs_lm, obs_uv, obs_ok, Kmat)
+        rep = P()
+        lm_spec = P(axis)
+        in_specs = (rep, rep, lm_spec, lm_spec,
+                    lm_spec, lm_spec, lm_spec, lm_spec, rep)
+        out_specs = (rep, lm_spec, rep)
+    else:
+        def sharded_fn(kf_pose, kf_active, lm_pose, lm_active,
+                       obs_kf, obs_lm, obs_uv, obs_ok, Kmat):
+            return jax.vmap(
+                lambda a, b, c, d, e, f, g, h: one_sequence(a, b, c, d, e, f, g, h, Kmat)
+            )(kf_pose, kf_active, lm_pose, lm_active, obs_kf, obs_lm, obs_uv, obs_ok)
+        d = data_axis
+        seq_rep = P(d)
+        seq_lm = P(d, axis)
+        in_specs = (seq_rep, seq_rep, seq_lm, seq_lm,
+                    seq_lm, seq_lm, seq_lm, seq_lm, P())
+        out_specs = (seq_rep, seq_lm, seq_rep)
+
     fn = shard_map(
         sharded_fn,
         mesh=mesh,
-        in_specs=(rep, rep, rep, lm_spec, lm_spec, lm_spec, lm_spec, lm_spec, lm_spec, rep),
-        out_specs=(rep, lm_spec, rep),
+        in_specs=in_specs,
+        out_specs=out_specs,
         check_vma=False,
     )
     jfn = jax.jit(fn)
 
     def run(state: BAState, Kmat):
         kf, lm, cost = jfn(
-            state.kf_pose, state.kf_active, state.anchor,
+            state.kf_pose, state.kf_active,
             state.lm_pose, state.lm_active,
             state.obs_kf, state.obs_lm, state.obs_uv, state.obs_ok,
             Kmat,
         )
-        return replace(state, kf_pose=kf, lm_pose=lm), float(cost)
+        new = replace(state, kf_pose=kf, lm_pose=lm)
+        if data_axis is None:
+            return new, float(cost)
+        try:
+            return new, np.asarray(cost)
+        except RuntimeError:
+            # multi-process: the per-sequence costs are sharded over hosts;
+            # hand the global array back to the caller (read your own
+            # addressable shards or gather via multihost helpers).
+            return new, cost
 
+    def lower_args(state: BAState):
+        """Argument tuple for run.jitted — for cost-analysis/AOT tooling."""
+        return (
+            state.kf_pose, state.kf_active,
+            state.lm_pose, state.lm_active,
+            state.obs_kf, state.obs_lm, state.obs_uv, state.obs_ok,
+        )
+
+    run.jitted = jfn
+    run.lower_args = lower_args
     return run
+
+
+def stack_ba_states(states: list[BAState]) -> BAState:
+    """Stack per-sequence BAStates along a leading data axis (host-side)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)

@@ -246,18 +246,101 @@ def _solve_jacobi(Sd: jax.Array, rhs: jax.Array) -> jax.Array:
     return y * m
 
 
-@partial(jax.jit, static_argnames=("iters", "tag_size"))
+def lm_obs_grid(obs_lm: jax.Array, obs_ok: jax.Array, M: int, P: int):
+    """Group observation indices by landmark into a static (M, P) grid.
+
+    Returns ``(grid, overflow)`` where ``grid[m, p]`` is the index of the
+    p-th observation of landmark m (sentinel O = "empty"; gather a zero
+    padding row there) and ``overflow`` counts valid observations beyond P
+    per landmark that did NOT fit (the caller should size P generously and
+    surface the count — silent truncation is a correctness bug).
+
+    This is the sparsity structure of the Schur coupling: keyframes i and j
+    interact only through landmarks both observe, so all pair work is
+    O(M * P^2) instead of the dense O(K^2 * M).
+    """
+    O = obs_lm.shape[0]
+    key = jnp.where(obs_ok, obs_lm, M).astype(jnp.int32)
+    order = jnp.argsort(key).astype(jnp.int32)
+    slm = key[order]
+    idx = jnp.arange(O, dtype=jnp.int32)
+    # rank within each run of equal landmark ids: idx - start-of-run,
+    # where start-of-run propagates via a running max.
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), slm[1:] != slm[:-1]]
+    )
+    run_start = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, idx, 0))
+    rank = idx - run_start
+    valid = slm < M
+    m_idx = jnp.where(valid & (rank < P), slm, M)
+    p_idx = jnp.minimum(rank, P - 1)
+    grid = jnp.full((M, P), O, jnp.int32)
+    grid = grid.at[m_idx, p_idx].set(order, mode="drop")
+    overflow = jnp.sum(valid & (rank >= P))
+    return grid, overflow
+
+
+def schur_sparse(grid, A, obs_kf, obs_lm, Hll_inv, Hcc_d, bc, bl, K):
+    """Assemble the reduced camera system from per-observation coupling
+    blocks A_o = Jc_o^T Jl_o without materializing the (K, M, 6, 6) W.
+
+    S = blockdiag(Hcc_d) - sum_m sum_{p,q in obs(m)} A_p Hll_inv_m A_q^T
+    rhs = bc - sum_o A_o (Hll_inv_{m_o} bl_{m_o})
+
+    Invalid observations carry A_o = 0 (the Jacobians are weighted by the
+    ok mask), so no extra masking is needed beyond the grid's drop-scatter.
+    """
+    O = A.shape[0]
+    Mi, P = grid.shape
+    Ap = jnp.concatenate([A, jnp.zeros((1, 6, 6), A.dtype)])  # zero padding row
+    kfp = jnp.concatenate([obs_kf.astype(jnp.int32), jnp.zeros((1,), jnp.int32)])
+    G = Ap[grid]  # (M, P, 6, 6)
+    kf_g = jnp.where(grid < O, kfp[grid], K)  # out-of-range -> dropped
+    GH = jnp.einsum("mpab,mbc->mpac", G, Hll_inv)
+    pair = jnp.einsum("mpac,mqdc->mpqad", GH, G)  # (M, P, P, 6, 6)
+    ki = jnp.broadcast_to(kf_g[:, :, None], (Mi, P, P)).reshape(-1)
+    kj = jnp.broadcast_to(kf_g[:, None, :], (Mi, P, P)).reshape(-1)
+    S = jnp.zeros((K, K, 6, 6), A.dtype)
+    S = S.at[ki, kj].add(-pair.reshape(-1, 6, 6), mode="drop")
+    S = S.at[jnp.arange(K), jnp.arange(K)].add(Hcc_d)
+    Hb = jnp.einsum("mab,mb->ma", Hll_inv, bl)  # (M, 6)
+    rhs = bc - jax.ops.segment_sum(
+        jnp.einsum("oab,ob->oa", A, Hb[obs_lm]), obs_kf, num_segments=K
+    )
+    return S, rhs
+
+
+def backsub_sparse(A, obs_kf, obs_lm, Hll_inv, bl, dc, M):
+    """Landmark back-substitution dl = -Hll_inv (bl + W^T dc) from
+    per-observation blocks: W_m^T dc = sum_{o in m} A_o^T dc_{k_o}."""
+    Wtdc = jax.ops.segment_sum(
+        jnp.einsum("oab,oa->ob", A, dc[obs_kf]), obs_lm, num_segments=M
+    )
+    return -jnp.einsum("mab,mb->ma", Hll_inv, bl + Wtdc)
+
+
+@partial(jax.jit, static_argnames=("iters", "tag_size", "coupling", "max_obs_per_lm"))
 def ba_optimize(
     state: BAState,
     Kmat: jax.Array,
     tag_size: float,
     iters: int = 8,
     huber_px: float = 4.0,
+    coupling: str = "auto",
+    max_obs_per_lm: int = 0,
 ) -> BAState:
     """Levenberg-Marquardt over keyframe + landmark poses (Schur-eliminated).
 
     The LM damping lambda is read from and written back to the state, so
     incremental per-frame calls continue the schedule.
+
+    ``coupling`` selects how the reduced camera system is assembled:
+    "dense" materializes the (K, M, 6, 6) W (fine for the sliding window),
+    "sparse" uses per-observation Schur contributions grouped by landmark
+    (O(M P^2) instead of O(K^2 M) — required for big maps), "auto" picks
+    sparse once K*M blocks would exceed the window-scale regime.
+    ``max_obs_per_lm`` caps P for the sparse grid (0 = use K, always safe
+    for the keyframe ring since a landmark has at most one obs per slot).
     """
     K = state.n_keyframes
     M = state.n_landmarks
@@ -265,6 +348,15 @@ def ba_optimize(
     obj = tag_object_corners(tag_size, dtype=dtype)
     z6 = jnp.zeros(6, dtype=dtype)
     Kmat = Kmat.astype(dtype)
+
+    if coupling == "auto":
+        coupling = "sparse" if K * M > 4096 else "dense"
+    use_sparse = coupling == "sparse"
+    P = max_obs_per_lm or K
+    if use_sparse:
+        # Structure is fixed across LM iterations (poses change, the obs
+        # pattern does not) — build the landmark-grouped grid once.
+        grid, _overflow = lm_obs_grid(state.obs_lm, state.obs_ok, M, P)
 
     okf = state.obs_ok.astype(dtype)
     # Gauge: the 6-dof world-frame freedom is left to the Marquardt damping
@@ -304,14 +396,12 @@ def ba_optimize(
         )  # (M, 6, 6)
         bc = jax.ops.segment_sum(jnp.einsum("ori,or->oi", Jc, r), state.obs_kf, num_segments=K)
         bl = jax.ops.segment_sum(jnp.einsum("ori,or->oi", Jl, r), state.obs_lm, num_segments=M)
-        # Coupling W: scatter per-obs (6,6) blocks into (K, M, 6, 6).
-        Wkm = jnp.zeros((K, M, 6, 6), dtype)
-        Wkm = Wkm.at[state.obs_kf, state.obs_lm].add(jnp.einsum("ori,orj->oij", Jc, Jl))
-        return Hcc, Hll, bc, bl, Wkm
+        A = jnp.einsum("ori,orj->oij", Jc, Jl)  # per-obs coupling blocks
+        return Hcc, Hll, bc, bl, A
 
     def lm_step(carry, _):
         kf_pose, lm_pose, lam = carry
-        Hcc, Hll, bc, bl, Wkm = linearize(kf_pose, lm_pose)
+        Hcc, Hll, bc, bl, A = linearize(kf_pose, lm_pose)
         cost0 = robust_cost(kf_pose, lm_pose)
 
         lm_prior = (1.0 - state.lm_active.astype(dtype)) * 1e4
@@ -320,14 +410,21 @@ def ba_optimize(
         Hcc_d = _damp_blocks(Hcc, lam, kf_prior)
 
         Hll_inv = jnp.linalg.inv(Hll_d)  # (M, 6, 6) batched
-        # Reduced camera system S (K, K, 6, 6).
-        WH = jnp.einsum("kmab,mbc->kmac", Wkm, Hll_inv)
-        S = -jnp.einsum("kmac,lmdc->klad", WH, Wkm)
-        S = S.at[jnp.arange(K), jnp.arange(K)].add(Hcc_d)
-        rhs = bc - jnp.einsum("kmab,mb->ka", WH, bl)  # (K, 6)
+        if use_sparse:
+            S, rhs = schur_sparse(
+                grid, A, state.obs_kf, state.obs_lm, Hll_inv, Hcc_d, bc, bl, K
+            )
+        else:
+            # Dense W: scatter per-obs blocks into (K, M, 6, 6).
+            Wkm = jnp.zeros((K, M, 6, 6), dtype)
+            Wkm = Wkm.at[state.obs_kf, state.obs_lm].add(A)
+            WH = jnp.einsum("kmab,mbc->kmac", Wkm, Hll_inv)
+            S = -jnp.einsum("kmac,lmdc->klad", WH, Wkm)
+            S = S.at[jnp.arange(K), jnp.arange(K)].add(Hcc_d)
+            rhs = bc - jnp.einsum("kmab,mb->ka", WH, bl)  # (K, 6)
         Sd = S.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
         dc = -_solve_jacobi(Sd, rhs.reshape(K * 6)).reshape(K, 6)
-        dl = -jnp.einsum("mab,mb->ma", Hll_inv, bl + jnp.einsum("kmab,ka->mb", Wkm, dc))
+        dl = backsub_sparse(A, state.obs_kf, state.obs_lm, Hll_inv, bl, dc, M)
 
         kf_new = jax.vmap(lambda d, T: se3_exp(d) @ T)(dc, kf_pose)
         lm_new = jax.vmap(lambda d, T: se3_exp(d) @ T)(dl, lm_pose)

@@ -172,3 +172,112 @@ class TestBA:
         cam, tag_size, T_wt, T_wc, project = world
         lp = np.asarray(latest_pose(st))
         np.testing.assert_allclose(lp, T_wc[-1], atol=0.2)
+
+
+class TestSparseSchur:
+    """Sparse per-observation Schur assembly vs the dense (K,M,6,6) path."""
+
+    def test_lm_obs_grid_groups_and_counts(self):
+        from aprilslam_tpu.slam.ba import lm_obs_grid
+
+        obs_lm = jnp.asarray([2, 0, 2, 1, 2, 0, 3, 3], jnp.int32)
+        obs_ok = jnp.asarray([1, 1, 1, 1, 1, 0, 1, 1], bool)
+        grid, overflow = lm_obs_grid(obs_lm, obs_ok, M=4, P=4)
+        grid = np.asarray(grid)
+        O = 8
+        # every valid obs appears exactly once, under its landmark row
+        seen = {}
+        for m in range(4):
+            for p in range(4):
+                o = grid[m, p]
+                if o < O:
+                    assert int(obs_lm[o]) == m
+                    assert bool(obs_ok[o])
+                    seen[o] = m
+        assert sorted(seen) == [0, 1, 2, 3, 4, 6, 7]
+        assert int(overflow) == 0
+
+    def test_lm_obs_grid_overflow(self):
+        from aprilslam_tpu.slam.ba import lm_obs_grid
+
+        obs_lm = jnp.zeros((6,), jnp.int32)  # all on landmark 0
+        obs_ok = jnp.ones((6,), bool)
+        grid, overflow = lm_obs_grid(obs_lm, obs_ok, M=2, P=4)
+        assert int(overflow) == 2
+        assert (np.asarray(grid)[0] < 6).sum() == 4
+
+    def test_sparse_matches_dense(self, world):
+        cam, tag_size, T_wt, T_wc, project = world
+        st = build_state(world, noise=0.5, pose_noise=0.02)
+        K = jnp.asarray(cam.matrix)
+        st_d = ba_optimize(st, K, tag_size, iters=8, coupling="dense")
+        st_s = ba_optimize(st, K, tag_size, iters=8, coupling="sparse")
+        c_d = float(ba_cost(st_d, K, tag_size))
+        c_s = float(ba_cost(st_s, K, tag_size))
+        # identical math, different assembly: costs agree tightly
+        assert abs(c_d - c_s) / max(c_d, 1e-6) < 1e-3, (c_d, c_s)
+        np.testing.assert_allclose(
+            np.asarray(st_s.kf_pose), np.asarray(st_d.kf_pose), atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_s.lm_pose), np.asarray(st_d.lm_pose), atol=1e-3
+        )
+
+    def test_sparse_reduces_cost_big_map(self):
+        """A map far beyond the dense regime: 512 landmarks, 16 keyframes."""
+        from dataclasses import replace
+        from aprilslam_tpu.geometry import tag_object_corners, se3_exp
+
+        rng = np.random.default_rng(1)
+        cam = PinholeCamera.from_fov(1000, 1000, 45.0)
+        Kmat = jnp.asarray(cam.matrix)
+        M, Kf, O = 512, 16, 2048
+        tag_size = 10.0
+        obj = np.asarray(tag_object_corners(tag_size))
+        side = int(np.ceil(np.sqrt(M)))
+        lm_pose = np.broadcast_to(np.eye(4, dtype=np.float32), (M, 4, 4)).copy()
+        for m in range(M):
+            lm_pose[m][:3, 3] = [(m % side) * 25.0, (m // side) * 25.0, 0.0]
+        kf_pose = np.broadcast_to(np.eye(4, dtype=np.float32), (Kf, 4, 4)).copy()
+        for k in range(Kf):
+            kf_pose[k][:3, :3] = np.diag([1, -1, -1]).astype(np.float32)
+            kf_pose[k][:3, 3] = [rng.uniform(0, side * 25), rng.uniform(0, side * 25), 140.0]
+        obs_kf = np.zeros(O, np.int32)
+        obs_lm = np.zeros(O, np.int32)
+        obs_uv = np.zeros((O, 4, 2), np.float32)
+        per_kf = O // Kf
+        i = 0
+        for k in range(Kf):
+            d = np.linalg.norm(lm_pose[:, :3, 3] - kf_pose[k][:3, 3], axis=-1)
+            for m in np.argsort(d)[:per_kf]:
+                T_ct = np.linalg.inv(kf_pose[k]) @ lm_pose[m]
+                p = obj @ T_ct[:3, :3].T + T_ct[:3, 3]
+                uv = p[:, :2] / p[:, 2:3]
+                Km = np.asarray(cam.matrix)
+                obs_uv[i] = np.stack(
+                    [Km[0, 0] * uv[:, 0] + Km[0, 2], Km[1, 1] * uv[:, 1] + Km[1, 2]], -1
+                ) + rng.normal(scale=0.3, size=(4, 2))
+                obs_kf[i], obs_lm[i] = k, m
+                i += 1
+        kf_noisy = np.stack([
+            np.asarray(se3_exp(jnp.asarray(rng.normal(scale=0.01, size=6)))) @ kf_pose[k]
+            for k in range(Kf)
+        ]).astype(np.float32)
+        lm_noisy = np.stack([
+            np.asarray(se3_exp(jnp.asarray(rng.normal(scale=0.01, size=6)))) @ lm_pose[m]
+            for m in range(M)
+        ]).astype(np.float32)
+        from aprilslam_tpu.slam.ba import ba_init
+        st = replace(
+            ba_init(Kf, M, O),
+            kf_pose=jnp.asarray(kf_noisy), kf_active=jnp.ones((Kf,), bool),
+            lm_pose=jnp.asarray(lm_noisy), lm_active=jnp.ones((M,), bool),
+            obs_kf=jnp.asarray(obs_kf), obs_lm=jnp.asarray(obs_lm),
+            obs_uv=jnp.asarray(obs_uv), obs_ok=jnp.asarray(np.arange(O) < i),
+            anchor=jnp.int32(0), kf_ptr=jnp.int32(Kf),
+        )
+        c0 = float(ba_cost(st, Kmat, tag_size))
+        # auto selects sparse here (K*M = 8192 > 4096); cap P at the true max
+        st2 = ba_optimize(st, Kmat, tag_size, iters=6, max_obs_per_lm=16)
+        c1 = float(ba_cost(st2, Kmat, tag_size))
+        assert c1 < 0.2 * c0, (c0, c1)

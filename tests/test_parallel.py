@@ -104,3 +104,52 @@ class TestParallelSequences:
         assert (n_nodes[:, -1] >= 1).all(), n_nodes
         valid = np.asarray(outs.valid)
         assert valid.any(axis=1).all()
+
+
+class TestShardOverflowWarning:
+    def test_overflow_emits_warning(self, world):
+        """Observations beyond the per-shard block must surface a warning
+        with the dropped count, not vanish silently."""
+        import warnings as _w
+        from dataclasses import replace
+
+        st = build_state(world)
+        # shrink the obs ring so one shard's block overflows: keep capacity
+        # but concentrate all valid obs on landmark 0's shard
+        lm = np.zeros_like(np.asarray(st.obs_lm))
+        st_bad = replace(st, obs_lm=jnp.asarray(lm))
+        n_valid = int(np.asarray(st_bad.obs_ok).sum())
+        per = st.n_obs_capacity // 8
+        assert n_valid > per  # sanity: this setup must overflow
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            shard_observations_by_owner(st_bad, 8)
+        msgs = [str(r.message) for r in rec if r.category is RuntimeWarning]
+        assert any("DROPPED" in m and str(n_valid - per) in m for m in msgs), msgs
+
+
+class TestDistributedBA2D:
+    def test_data_by_lm_mesh(self, world):
+        """2-D mesh: sequences over 'data', each sequence's landmarks over
+        'lm'. Both sequences' BA must converge with zero cross-data traffic."""
+        from aprilslam_tpu.parallel import make_mesh_2d
+        from aprilslam_tpu.parallel.distributed_ba import stack_ba_states
+
+        cam, tag_size, T_wt, T_wc, project = world
+        K = jnp.asarray(cam.matrix)
+        mesh = make_mesh_2d(n_data=2, n_lm=4)
+        sts = [build_state(world, noise=0.5, pose_noise=0.02, seed=s) for s in range(2)]
+        c0 = [float(ba_cost(s, K, tag_size)) for s in sts]
+        sts_sh = [shard_observations_by_owner(s, 4) for s in sts]
+        stacked = stack_ba_states(sts_sh)
+
+        run = build_distributed_ba(
+            mesh, sts[0].n_keyframes, sts[0].n_landmarks, sts[0].n_obs_capacity,
+            tag_size, axis="lm", iters=10, data_axis="data",
+        )
+        out, costs = run(stacked, K)
+        assert costs.shape == (2,)
+        for s in range(2):
+            st_s = jax.tree.map(lambda x: x[s], out)
+            c1 = float(ba_cost(st_s, K, tag_size))
+            assert c1 < 0.5 * c0[s], (s, c0[s], c1)

@@ -17,14 +17,18 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--landmarks", type=int, default=1024)
-    ap.add_argument("--keyframes", type=int, default=32)
-    ap.add_argument("--obs", type=int, default=4096)
+    ap.add_argument("--landmarks", type=int, default=10240)
+    ap.add_argument("--keyframes", type=int, default=64)
+    ap.add_argument("--obs", type=int, default=16384)
     ap.add_argument("--devices", type=int, default=8)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--reps", type=int, default=3)
@@ -113,6 +117,8 @@ def main():
     )
 
     c0 = float(ba_cost(st, Kmat, tag_size))
+    # true max observations per landmark — sizes the sparse Schur grid
+    P_max = int(np.bincount(obs_lm[:n_obs], minlength=M).max())
 
     def timed(fn, *a):
         out = fn(*a)
@@ -123,21 +129,49 @@ def main():
             jax.block_until_ready(jax.tree.leaves(out)[0])
         return out, (time.perf_counter() - t0) / args.reps
 
-    # Single-device baseline.
-    st1, t1 = timed(lambda: ba_optimize(st, Kmat, tag_size, iters=args.iters))
+    # Single-device baseline (same sparse Schur assembly — the efficiency
+    # number isolates DISTRIBUTION overhead, not an algorithm swap).
+    single = jax.jit(
+        lambda s: ba_optimize(s, Kmat, tag_size, iters=args.iters,
+                              coupling="sparse", max_obs_per_lm=P_max)
+    )
+    st1, t1 = timed(single, st)
     c1 = float(ba_cost(st1, Kmat, tag_size))
 
-    # Distributed.
+    # Distributed. fit=True grows the per-shard obs blocks so nothing drops.
     mesh = make_mesh(args.devices, axis="lm")
-    st_sh = shard_observations_by_owner(st, args.devices)
-    run = build_distributed_ba(mesh, K, M, O, tag_size, iters=args.iters)
+    st_sh = shard_observations_by_owner(st, args.devices, fit=True)
+    run = build_distributed_ba(mesh, K, M, st_sh.n_obs_capacity, tag_size,
+                               iters=args.iters, max_obs_per_lm=P_max)
     (stn, _), tn = timed(lambda: run(st_sh, Kmat))
     cn = float(ba_cost(stn, Kmat, tag_size))
+
+    # Work-based scaling efficiency from the compiled HLO cost model:
+    # eff = flops(1 device) / (n * flops per device). Hardware-independent —
+    # on a 2-core host timesharing 8 virtual devices, wall-clock "efficiency"
+    # measures the host CPU, not the sharding design.
+    def flops_of(jitted, *a):
+        try:
+            ca = jitted.lower(*a).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            return float(ca.get("flops", 0.0))
+        except Exception:
+            return float("nan")
+
+    f1 = flops_of(single, st)
+    # cost_analysis on an SPMD program reports PER-DEVICE flops;
+    # eff = single-device flops / (n * per-device flops).
+    fd_dev = flops_of(run.jitted, *run.lower_args(st_sh), Kmat)
+    work_eff = (
+        f1 / (args.devices * fd_dev) if (fd_dev and fd_dev == fd_dev) else float("nan")
+    )
 
     speedup = t1 / tn
     eff = speedup / args.devices
     print(json.dumps({
         "landmarks": M, "keyframes": K, "observations": n_obs,
+        "max_obs_per_landmark": P_max,
         "lm_iters": args.iters,
         "cost_initial": round(c0, 1),
         "cost_single": round(c1, 1),
@@ -146,9 +180,14 @@ def main():
         "t_distributed_s": round(tn, 3),
         "devices": args.devices,
         "speedup": round(speedup, 2),
-        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_measured": round(eff, 3),
+        "flops_single": f1,
+        "flops_distributed_per_device": fd_dev,
+        "work_scaling_efficiency": round(work_eff, 3) if work_eff == work_eff else None,
         "ba_iters_per_sec_distributed": round(args.iters / tn, 2),
-        "note": "virtual CPU mesh validates structure; hardware mesh for wall-clock",
+        "note": "measured efficiency is honest only when devices are real; "
+                "work_scaling_efficiency (HLO flops, single/total) is the "
+                "hardware-independent sharding-quality number",
     }))
 
 
