@@ -204,12 +204,18 @@ def main(argv=None) -> int:
             # GT transforms for ALL tags at this chunk's camera poses:
             # per-frame pose GT + per-node error attribution share them.
             gt_tags = np.asarray(camera_to_tag_transforms(tag_pos, tag_rot, pos, rot))
-            if anchor in ids:
-                a_idx = id_to_idx[anchor]
-                gt = np.asarray(camera_in_tag_frames(tag_pos, tag_rot, pos, rot))[:, a_idx]
-            else:
-                a_idx = None
-                gt = np.broadcast_to(np.eye(4), (args.batch, 4, 4))
+            # Each frame's estimate lives in THAT frame's coordinate-tag
+            # frame (outs.coord_id): the anchor is the lowest id seen so far
+            # and can change mid-run, so GT must be picked per frame.
+            coord = np.asarray(outs.coord_id)
+            gt_all_tags = np.asarray(camera_in_tag_frames(tag_pos, tag_rot, pos, rot))
+            gt = np.broadcast_to(np.eye(4), (args.batch, 4, 4)).copy()
+            frame_aidx = np.full(args.batch, -1)
+            for b in range(args.batch):
+                t_i = id_to_idx.get(int(coord[b]))
+                if t_i is not None:
+                    gt[b] = gt_all_tags[b, t_i]
+                    frame_aidx[b] = t_i
             est = np.asarray(outs.poses)
             valid = np.asarray(outs.valid)
             nn = np.asarray(outs.n_nodes)
@@ -220,7 +226,7 @@ def main(argv=None) -> int:
             node_local = np.asarray(outs.node_local)
             node_world = np.asarray(outs.node_world)
             for b in range(args.batch):
-                if not valid[b]:
+                if not valid[b] or frame_aidx[b] < 0:
                     continue
                 dlog.log_frame(est[b], gt[b], int(nn[b]), float(ad[b]),
                                t=time.time() - t_start, reproj_rms=float(rms[b]))
@@ -229,26 +235,25 @@ def main(argv=None) -> int:
                 # Per-visible-node error attribution (reference
                 # simulation_engine.py:302-356): GT camera->tag transform,
                 # GT tag->anchor distance, |est - GT| distance errors.
-                if a_idx is not None:
-                    for tid in np.nonzero(node_vis[b])[0]:
-                        t_i = id_to_idx.get(int(tid))
-                        if t_i is None:
-                            continue
-                        gt_local = gt_tags[b, t_i]
-                        gt_world_dist = float(
-                            np.linalg.norm(tag_pos_np[t_i] - tag_pos_np[a_idx])
-                        )
-                        loc = node_local[b, tid]
-                        wor = node_world[b, tid]
-                        err_local = abs(float(np.linalg.norm(loc[:3, 3]))
-                                        - float(np.linalg.norm(gt_local[:3, 3])))
-                        err_world = abs(float(np.linalg.norm(wor[:3, 3])) - gt_world_dist)
-                        t_err = float(np.linalg.norm(loc[:3, 3] - gt_local[:3, 3]))
-                        dlog.log_node(float(node_w[b, tid]), loc, wor, gt_local,
-                                      err_world, err_local, t_err)
-                        last_node_gt[int(tid)] = (
-                            gt_world_dist, float(np.linalg.norm(gt_local[:3, 3]))
-                        )
+                for tid in np.nonzero(node_vis[b])[0]:
+                    t_i = id_to_idx.get(int(tid))
+                    if t_i is None:
+                        continue
+                    gt_local = gt_tags[b, t_i]
+                    gt_world_dist = float(
+                        np.linalg.norm(tag_pos_np[t_i] - tag_pos_np[frame_aidx[b]])
+                    )
+                    loc = node_local[b, tid]
+                    wor = node_world[b, tid]
+                    err_local = abs(float(np.linalg.norm(loc[:3, 3]))
+                                    - float(np.linalg.norm(gt_local[:3, 3])))
+                    err_world = abs(float(np.linalg.norm(wor[:3, 3])) - gt_world_dist)
+                    t_err = float(np.linalg.norm(loc[:3, 3] - gt_local[:3, 3]))
+                    dlog.log_node(float(node_w[b, tid]), loc, wor, gt_local,
+                                  err_world, err_local, t_err)
+                    last_node_gt[int(tid)] = (
+                        gt_world_dist, float(np.linalg.norm(gt_local[:3, 3]))
+                    )
             valid_all.append(valid)
             if ckpt is not None and ((s + args.batch) % max(args.checkpoint_every, args.batch) == 0
                                      or s + args.batch >= n):

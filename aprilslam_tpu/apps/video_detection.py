@@ -80,6 +80,10 @@ def main(argv=None) -> int:
     detector = TagDetector(args.family, DetectorParams(quad_decimate=args.decimate,
                                                        min_cluster_pts=12))
     Kj = jnp.asarray(K)
+    # Corners are undistorted inside PnP (geometry.undistort_pixels) — the
+    # counterpart of the reference feeding dist_coeffs to cv2.solvePnP
+    # (tag_detector.py:41). All-zero coeffs short-circuit to pinhole.
+    distj = jnp.asarray(dist) if np.any(dist) else None
 
     frames_buf, raw_buf = [], []
     n_frames = 0
@@ -96,7 +100,8 @@ def main(argv=None) -> int:
             if len(frames_buf) == args.batch:
                 batch = jnp.asarray(np.stack(frames_buf))
                 det = detector.detect(batch)
-                T, okp, rms, _seed = poses_from_detections(det, Kj, args.tag_size)
+                T, okp, rms, _seed, _alt = poses_from_detections(
+                    det, Kj, args.tag_size, dist_coeffs=distj)
                 ids = np.asarray(det.ids)
                 okp = np.asarray(okp)
                 Tn = np.asarray(T)

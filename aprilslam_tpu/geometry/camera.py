@@ -77,6 +77,76 @@ def unproject(pixels: jax.Array, K_inv: jax.Array) -> jax.Array:
     return jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
 
 
+def distort_normalized(xn: jax.Array, dist: jax.Array) -> jax.Array:
+    """Apply Brown-Conrady distortion to normalized image coords (..., 2).
+
+    ``dist`` is the OpenCV coefficient vector (k1, k2, p1, p2[, k3]) — the
+    same layout the reference loads from its calibration .npz and feeds to
+    cv2.solvePnP (reference tag_detector.py:41, video_detection.py:41-73).
+    Radial terms up to r^6 plus tangential terms.
+    """
+    dist = jnp.asarray(dist, dtype=xn.dtype)
+    d = jnp.zeros(5, dtype=xn.dtype).at[: dist.shape[-1]].set(dist[:5])
+    k1, k2, p1, p2, k3 = d[0], d[1], d[2], d[3], d[4]
+    x, y = xn[..., 0], xn[..., 1]
+    r2 = x * x + y * y
+    radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    xt = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    yt = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    return jnp.stack([x * radial + xt, y * radial + yt], axis=-1)
+
+
+def undistort_normalized(xd: jax.Array, dist: jax.Array, iters: int = 10) -> jax.Array:
+    """Invert Brown-Conrady distortion by fixed-point iteration (..., 2).
+
+    Same compensation loop cv2.undistortPoints runs, written as a
+    fixed-count ``lax.fori_loop`` so it traces to a static XLA graph: start
+    from the distorted coords and repeatedly divide out the radial factor /
+    subtract the tangential shift evaluated at the current estimate.
+    Converges to float32 round-off in <10 iterations for |k1| <= 0.5.
+    """
+    dist = jnp.asarray(dist, dtype=xd.dtype)
+    d = jnp.zeros(5, dtype=xd.dtype).at[: dist.shape[-1]].set(dist[:5])
+    k1, k2, p1, p2, k3 = d[0], d[1], d[2], d[3], d[4]
+    x0, y0 = xd[..., 0], xd[..., 1]
+
+    def body(_, xy):
+        x, y = xy
+        r2 = x * x + y * y
+        radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+        inv = 1.0 / jnp.where(jnp.abs(radial) < 1e-6, 1e-6, radial)
+        xt = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        yt = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+        return ((x0 - xt) * inv, (y0 - yt) * inv)
+
+    x, y = jax.lax.fori_loop(0, iters, body, (x0, y0))
+    return jnp.stack([x, y], axis=-1)
+
+
+def distort_pixels(px: jax.Array, K: jax.Array, dist: jax.Array) -> jax.Array:
+    """Ideal pinhole pixels (..., 2) -> observed (distorted) pixels."""
+    x = (px[..., 0] - K[0, 2]) / K[0, 0]
+    y = (px[..., 1] - K[1, 2]) / K[1, 1]
+    xd = distort_normalized(jnp.stack([x, y], axis=-1), dist)
+    return jnp.stack(
+        [K[0, 0] * xd[..., 0] + K[0, 2], K[1, 1] * xd[..., 1] + K[1, 2]], axis=-1
+    )
+
+
+def undistort_pixels(px: jax.Array, K: jax.Array, dist: jax.Array, iters: int = 10) -> jax.Array:
+    """Observed (distorted) pixels (..., 2) -> ideal pinhole pixels.
+
+    This is the cv2.undistortPoints(..., P=K) equivalent: after it, the
+    pinhole-only PnP/calibration math applies exactly.
+    """
+    x = (px[..., 0] - K[0, 2]) / K[0, 0]
+    y = (px[..., 1] - K[1, 2]) / K[1, 1]
+    xn = undistort_normalized(jnp.stack([x, y], axis=-1), dist, iters=iters)
+    return jnp.stack(
+        [K[0, 0] * xn[..., 0] + K[0, 2], K[1, 1] * xn[..., 1] + K[1, 2]], axis=-1
+    )
+
+
 def gl_point_to_cv(p_gl: jax.Array) -> jax.Array:
     """Flip a GL-camera-frame point into the CV camera frame (negate y, z).
 

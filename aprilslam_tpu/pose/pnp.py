@@ -30,7 +30,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..geometry import se3_exp, so3_log, make_se3, tag_object_corners
+from ..geometry import se3_exp, so3_log, make_se3, tag_object_corners, undistort_pixels
 from ..detect.decode import homography_from_corners, Detections
 
 
@@ -257,6 +257,7 @@ def poses_from_detections(
     max_reproj_px: float = 2.0,
     ambiguity_max: float = 0.55,
     branch_sep_ok: float = 0.35,
+    dist_coeffs: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Estimate T_cam_tag for every detection.
 
@@ -273,7 +274,13 @@ def poses_from_detections(
     is the rejected ambiguity branch — localizers should try both as inits
     when only one tag anchors the pose.
     """
-    res = solve_planar_pnp_dual(det.corners, K, tag_size, iters=iters)
+    corners = det.corners
+    if dist_coeffs is not None:
+        # Compensate lens distortion on the measured corners so the pinhole
+        # PnP below is exact — the counterpart of the reference passing
+        # dist_coeffs to cv2.solvePnP (tag_detector.py:41).
+        corners = undistort_pixels(corners, K, jnp.asarray(dist_coeffs))
+    res = solve_planar_pnp_dual(corners, K, tag_size, iters=iters)
     ok = det.valid & (res.T[..., 2, 3] > 0) & (res.rms < max_reproj_px)
     sep = jnp.linalg.norm(
         res.T[..., :3, :3] - res.T_alt[..., :3, :3], axis=(-2, -1)

@@ -9,6 +9,7 @@ from .ground_truth import (
 )
 from .rasterizer import SceneTensors, scene_tensors, render_frames, project_border_corners, render_sequence
 from . import trajectory
+from . import degrade
 
 __all__ = [
     "SceneConfig",
@@ -27,4 +28,5 @@ __all__ = [
     "project_border_corners",
     "render_sequence",
     "trajectory",
+    "degrade",
 ]

@@ -106,8 +106,15 @@ def update_graph(
         # A strictly lower id was seen. The new anchor tag's world in the OLD
         # frame is computable after it is inserted; but at this point it is
         # new, so we chain it through the min-id *previously known* visible
-        # tag r: world_a_old = world_r @ local_r @ T_a. Then conjugate every
+        # tag r: world_a_old = world_r @ inv(T_r) @ T_a. Then conjugate every
         # stored world into the new frame: world_i' = inv(world_a_old) @ world_i.
+        #
+        # CRITICAL: T_r must be tag r's detection from THIS frame —
+        # state.local[r] is from r's *previous* observation, i.e. a different
+        # camera pose. Chaining through the stale local injects the full
+        # inter-frame camera motion into the conjugation shift and rigidly
+        # corrupts every stored world (catastrophic for teleporting
+        # Monte Carlo trajectories, where the motion is the whole scene).
         a = new_anchor
         a_slot = jnp.clip(a, 0, M - 1)
         # position of the anchor detection in this frame's arrays
@@ -117,9 +124,11 @@ def update_graph(
         r = jnp.min(jnp.where(known_vis, jnp.arange(M), NO_ANCHOR))
         has_ref = r < NO_ANCHOR
         r_slot = jnp.clip(r, 0, M - 1)
+        r_idx = jnp.argmax(ids == r)  # r is visible this frame by construction
+        T_r = T_cam_tag[r_idx]
         world_a_old = jnp.where(
             has_ref,
-            state.world[r_slot] @ (state.local[r_slot] @ T_a),
+            state.world[r_slot] @ (se3_inverse(T_r) @ T_a),
             jnp.eye(4, dtype=T_a.dtype),
         )
         shift = se3_inverse(world_a_old)

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..detect import DetectorParams, detect_fn
 from ..families import TagFamily
-from ..geometry import PinholeCamera, se3_inverse as _se3_inverse
+from ..geometry import PinholeCamera, se3_inverse as _se3_inverse, undistort_pixels as _undistort_pixels
 from ..pose import poses_from_detections
 from .graph import GraphState, init_graph, update_graph, estimate_pose_average
 from .localize import joint_camera_pose
@@ -32,6 +32,7 @@ Estimator = Literal["reference_chain", "chain_avg", "joint", "ba"]
     jax.tree_util.register_dataclass,
     data_fields=[
         "poses", "valid", "reproj_rms", "n_visible", "n_nodes", "avg_node_distance",
+        "coord_id",
         "node_visible", "node_weight", "node_local", "node_world",
     ],
     meta_fields=[],
@@ -44,6 +45,11 @@ class SlamOutputs:
     n_visible: jax.Array  # (B,) visible mapped tags
     n_nodes: jax.Array  # (B,) graph size after the frame
     avg_node_distance: jax.Array  # (B,) parity with slam.py:65-80
+    # The tag frame THIS frame's pose is expressed in. The anchor is the
+    # lowest id ever seen (reference slam_graph.py:33-39), so it can change
+    # mid-run; evaluating a pose against GT in any other tag's frame injects
+    # the full inter-tag offset as phantom error.
+    coord_id: jax.Array  # (B,) int32
     # Per-frame node snapshots for error attribution (the reference logs
     # these per visible node every frame, simulation_engine.py:302-356).
     node_visible: jax.Array  # (B, M) bool
@@ -64,6 +70,7 @@ def build_slam_step(
     ba_keyframes: int = 16,
     ba_obs: int = 512,
     ba_iters_per_frame: int = 3,
+    dist_coeffs: jax.Array | None = None,
 ):
     """Returns (slam_step, init_state) where
     ``slam_step(state, frames) -> (state, SlamOutputs)`` is jittable and
@@ -90,8 +97,17 @@ def build_slam_step(
         seen = jnp.zeros((M,), bool).at[slot].set(True, mode="drop")
         return corn_m, seen
 
+    dist = None if dist_coeffs is None else jnp.asarray(dist_coeffs)
+
     def slam_step(state, frames: jax.Array):
         det = detect(frames)
+        if dist is not None:
+            # Compensate lens distortion ONCE at the detect->geometry
+            # boundary; every downstream consumer (PnP, graph, joint
+            # localizer, BA) then sees pinhole-consistent corners — the
+            # counterpart of the reference feeding dist_coeffs to
+            # cv2.solvePnP (tag_detector.py:41).
+            det = _replace(det, corners=_undistort_pixels(det.corners, K, dist))
         T_all, ok_all, _rms_all, seed_all, T_alt_all = poses_from_detections(
             det, K, tag_size, iters=pnp_iters
         )
@@ -194,15 +210,23 @@ def build_slam_step(
                 )
 
                 # Re-localize against the (possibly refreshed) map, and
-                # report in the anchor-tag frame (the GT comparison frame):
-                # the BA world frame is fixed at the anchor's seed pose,
-                # which may differ slightly from the anchor tag frame itself.
+                # report in the GRAPH's coordinate frame (lowest id ever
+                # seen — the frame coordinate_id advertises and the frame
+                # every app/bench compares GT in). ba.anchor is only the BA
+                # world GAUGE (first seeded tag) and can differ from the
+                # coordinate tag when ids arrive out of order; reporting
+                # relative to it shifts every pose by the inter-tag offset.
                 use = seen & ba.lm_active
                 pose_w, rms = localize(ba.lm_pose, use, T_init, T_wc0b)
-                a_slot = jnp.clip(ba.anchor, 0, Ml - 1)
-                T_wa = jnp.where(ba.anchor >= 0, ba.lm_pose[a_slot], eye4)
+                coord = graph.coordinate_id
+                c_slot = jnp.clip(coord, 0, Ml - 1)
+                frame_ok = (coord >= 0) & (coord < Ml) & ba.lm_active[c_slot]
+                T_wa = jnp.where(frame_ok, ba.lm_pose[c_slot], eye4)
                 pose = _se3_inverse(T_wa) @ pose_w
-                ba_valid = jnp.any(use) & (jnp.any(cand_loc) | avg_valid)
+                # Until the coordinate tag itself is an active landmark the
+                # BA pose cannot be expressed in the advertised frame — fall
+                # back to the chain average, which always lives there.
+                ba_valid = jnp.any(use) & (jnp.any(cand_loc) | avg_valid) & frame_ok
                 pose = jnp.where(ba_valid, pose, avg_T)
                 graph = _replace(graph, estimated_pose=pose)
 
@@ -213,6 +237,7 @@ def build_slam_step(
                 n_visible=jnp.sum(graph.visible),
                 n_nodes=jnp.sum(graph.present),
                 avg_node_distance=average_distance_to_nodes(graph),
+                coord_id=graph.coordinate_id,
                 node_visible=graph.visible,
                 node_weight=graph.weight,
                 node_local=graph.local,
@@ -250,12 +275,14 @@ class SlamSystem:
         estimator: Estimator = "joint",
         detector_params: DetectorParams | None = None,
         graph_capacity: int = 64,
+        dist_coeffs=None,
     ):
         self._step, self._init = build_slam_step(
             family, camera, tag_size,
             detector_params=detector_params,
             estimator=estimator,
             graph_capacity=graph_capacity,
+            dist_coeffs=dist_coeffs,
         )
         self._step = jax.jit(self._step)
         self.state = self._init()

@@ -83,17 +83,21 @@ def main():
     # Accuracy: ATE vs analytic GT in the anchor tag frame.
     import numpy as _np
 
-    graph_state = state[0] if isinstance(state, tuple) else state
-    anchor = int(graph_state.coordinate_id)
     ids = cfg.tag_ids()
-    t_idx = int(_np.where(ids == anchor)[0][0]) if anchor in ids else 0
-    gt = _np.asarray(
+    gt_all = _np.asarray(
         camera_in_tag_frames(
             jnp.asarray(cfg.tag_positions()), jnp.asarray(cfg.tag_rotations()), pos, rot
         )
-    )[:, t_idx]
+    )  # (N, T, 4, 4)
     est = _np.concatenate([_np.asarray(o.poses) for o in all_outs])
     valid = _np.concatenate([_np.asarray(o.valid) for o in all_outs])
+    # Each frame's pose is expressed in that frame's coordinate-tag frame
+    # (the anchor is the lowest id seen SO FAR and can change mid-run).
+    coord = _np.concatenate([_np.asarray(o.coord_id) for o in all_outs])
+    id_to_idx = {int(t): i for i, t in enumerate(ids)}
+    t_idx = _np.array([id_to_idx.get(int(c), -1) for c in coord])
+    valid = valid & (t_idx >= 0)
+    gt = gt_all[_np.arange(len(est)), _np.clip(t_idx, 0, len(ids) - 1)]
     errs = _np.linalg.norm(est[valid, :3, 3] - gt[valid, :3, 3], axis=-1)
     ate_rmse = float(_np.sqrt(_np.mean(errs**2))) if len(errs) else float("nan")
 
