@@ -51,6 +51,10 @@ def parse_arguments(argv=None):
     p.add_argument("--resume", action="store_true",
                    help="resume SLAM state from the latest checkpoint in "
                         "--checkpoint-dir")
+    p.add_argument("--pgo", action="store_true",
+                   help="enable the pose-graph backend: loop-closure edges "
+                        "from re-observed landmarks redistribute drift "
+                        "(ba estimator only)")
     p.add_argument("--interactive", action="store_true",
                    help="manual camera control from the terminal (WASD/QE + "
                         "IJKL/UO keys, reference camera_controller.py:65-103)")
@@ -139,6 +143,7 @@ def main(argv=None) -> int:
         cam, cfg.family, cfg.tag_size_inner,
         estimator=args.estimator,
         detector_params=DetectorParams(quad_decimate=args.decimate, min_cluster_pts=12),
+        pgo=args.pgo,
     )
 
     viz = None
@@ -310,13 +315,16 @@ def main(argv=None) -> int:
         log.info(f"Valid pose rate: {np.concatenate(valid_all).mean():.3f}; "
                  f"runtime {stats['runtime_seconds']:.1f}s; "
                  f"avg {stats['average_fps']:.2f} fps")
-        print(json.dumps({
+        summary = {
             "ate_rmse_su": round(rep["ate_rmse"], 4),
             "ate_rmse_mm": round(rep["translation_mm"]["rmse"], 2),
             "frames": len(est_all),
             "fps": round(stats["average_fps"], 2),
             "estimator": args.estimator,
-        }))
+        }
+        if args.pgo and slam.pgo_state is not None:
+            summary["loop_closures"] = int(slam.pgo_state.n_loops)
+        print(json.dumps(summary))
     else:
         log.warning("No valid pose estimates produced.")
         return 1

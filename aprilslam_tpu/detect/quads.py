@@ -121,29 +121,47 @@ def _compact(ka, kb, x, y, w, max_boundary: int):
     return ka_c, kb_c, x_c, y_c, w_c
 
 
-def _cluster(ka, kb, x, y, w, max_clusters: int):
+def _cluster(ka, kb, x, y, w, max_clusters: int, min_pts: int = 1):
     """Sort by (black, white) key pair and compute per-cluster stats.
 
     All inputs (N,) for one frame. Returns sorted point arrays plus per-
     cluster (count, start, bbox) over max_clusters slots.
+
+    Cluster slots are assigned BY SIZE (top-k of the per-segment point
+    counts), not by key order: a noisy frame can produce thousands of tiny
+    speck clusters, and first-come slot assignment would evict the real tag
+    boundaries. Ranking by size keeps the detector's fixed capacity while
+    making eviction hit the specks first.
     """
     n = ka.shape[0]
     ka_s, kb_s, x_s, y_s, w_s = jax.lax.sort((ka, kb, x, y, w), num_keys=2, is_stable=False)
     valid = ka_s < _BIG
     new_seg = jnp.ones((n,), dtype=bool)
     new_seg = new_seg.at[1:].set((ka_s[1:] != ka_s[:-1]) | (kb_s[1:] != kb_s[:-1]))
-    seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
-    seg_id = jnp.where(valid, jnp.minimum(seg_id, max_clusters), max_clusters)
+    seg_raw = jnp.cumsum(new_seg.astype(jnp.int32)) - 1  # 0..n-1, contiguous
+    seg_raw = jnp.where(valid, seg_raw, n)
+
+    # Per-segment sizes over the FULL (uncapped) segment space, then keep the
+    # max_clusters largest segments that meet the minimum size.
+    sizes = jax.ops.segment_sum(valid.astype(jnp.float32), seg_raw, num_segments=n + 1)[:n]
+    score = jnp.where(sizes >= min_pts, sizes, -1.0)
+    top_sz, top_ids = jax.lax.top_k(score, max_clusters)
+    remap = jnp.full((n + 1,), max_clusters, jnp.int32)
+    remap = remap.at[top_ids].set(
+        jnp.where(top_sz > 0, jnp.arange(max_clusters, dtype=jnp.int32), max_clusters)
+    )
+    seg_id = remap[seg_raw]
 
     ns = max_clusters + 1
-    ones = valid.astype(jnp.float32)
+    live = valid & (seg_id < max_clusters)
+    ones = live.astype(jnp.float32)
     count = jax.ops.segment_sum(ones, seg_id, num_segments=ns)
     pos = jnp.arange(n, dtype=jnp.int32)
-    start = jax.ops.segment_min(jnp.where(valid, pos, n), seg_id, num_segments=ns)
-    xmin = jax.ops.segment_min(jnp.where(valid, x_s, jnp.inf), seg_id, num_segments=ns)
-    xmax = jax.ops.segment_max(jnp.where(valid, x_s, -jnp.inf), seg_id, num_segments=ns)
-    ymin = jax.ops.segment_min(jnp.where(valid, y_s, jnp.inf), seg_id, num_segments=ns)
-    ymax = jax.ops.segment_max(jnp.where(valid, y_s, -jnp.inf), seg_id, num_segments=ns)
+    start = jax.ops.segment_min(jnp.where(live, pos, n), seg_id, num_segments=ns)
+    xmin = jax.ops.segment_min(jnp.where(live, x_s, jnp.inf), seg_id, num_segments=ns)
+    xmax = jax.ops.segment_max(jnp.where(live, x_s, -jnp.inf), seg_id, num_segments=ns)
+    ymin = jax.ops.segment_min(jnp.where(live, y_s, jnp.inf), seg_id, num_segments=ns)
+    ymax = jax.ops.segment_max(jnp.where(live, y_s, -jnp.inf), seg_id, num_segments=ns)
     return (x_s, y_s, w_s), dict(
         count=count[:max_clusters],
         start=start[:max_clusters],
@@ -241,7 +259,7 @@ def quad_candidates(
 
     def per_frame(ka, kb, x, y, w):
         ka, kb, x, y, w = _compact(ka, kb, x, y, w, max_boundary)
-        (x_s, y_s, w_s), st = _cluster(ka, kb, x, y, w, max_clusters)
+        (x_s, y_s, w_s), st = _cluster(ka, kb, x, y, w, max_clusters, min_cluster_pts)
         count, start = st["count"], st["start"]
         bw = st["xmax"] - st["xmin"]
         bh = st["ymax"] - st["ymin"]

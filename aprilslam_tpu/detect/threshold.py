@@ -67,11 +67,20 @@ def _tile_minmax(frames: jax.Array, tile: int) -> tuple[jax.Array, jax.Array]:
     return nmin, nmax
 
 
-@partial(jax.jit, static_argnames=("tile",))
+def _box3(x: jax.Array) -> jax.Array:
+    """Separable 3x3 box mean with edge padding (one fused VPU pass)."""
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)), mode="edge")
+    x = (xp[:, :-2] + xp[:, 1:-1] + xp[:, 2:]) * (1.0 / 3.0)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1)), mode="edge")
+    return (xp[:, :, :-2] + xp[:, :, 1:-1] + xp[:, :, 2:]) * (1.0 / 3.0)
+
+
+@partial(jax.jit, static_argnames=("tile", "min_contrast", "smooth"))
 def adaptive_threshold_with_levels(
     frames: jax.Array,
     tile: int = 4,
     min_contrast: float = 0.1,
+    smooth: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """(B, H, W) float32 -> (trinary int8, local threshold level float32).
 
@@ -80,9 +89,19 @@ def adaptive_threshold_with_levels(
     same scheme the C detector uses, reformulated as pooled reductions. The
     per-pixel threshold level is also returned: the boundary stage uses it to
     place edge points at the subpixel gray-level crossing.
+
+    ``smooth`` runs the min/max statistics AND the classification on a 3x3
+    box-filtered copy: tile min/max are extreme-value statistics over ~144
+    pixels, so unsmoothed sensor noise of sigma inflates the apparent tile
+    contrast by ~6*sigma and flips uniform background tiles past
+    ``min_contrast``, flooding the component stage with specks. Box
+    smoothing cuts that to ~2*sigma while leaving straight-edge crossings
+    unbiased (the filter is symmetric). The subpixel boundary interpolation
+    still uses the ORIGINAL gray image.
     """
     B, H, W = frames.shape
-    nmin, nmax = _tile_minmax(frames, tile)
+    stats_src = _box3(frames) if smooth else frames
+    nmin, nmax = _tile_minmax(stats_src, tile)
     # Upsample tile stats back to pixel resolution.
     up_min = jnp.repeat(jnp.repeat(nmin, tile, axis=1), tile, axis=2)
     up_max = jnp.repeat(jnp.repeat(nmax, tile, axis=1), tile, axis=2)
@@ -95,7 +114,7 @@ def adaptive_threshold_with_levels(
             up_max, ((0, 0), (0, H - up_max.shape[1]), (0, W - up_max.shape[2])), mode="edge"
         )
     mid = 0.5 * (up_min + up_max)
-    white = frames > mid
+    white = (stats_src if smooth else frames) > mid
     known = (up_max - up_min) >= min_contrast
     return jnp.where(known, white.astype(jnp.int8), jnp.int8(-1)), mid
 

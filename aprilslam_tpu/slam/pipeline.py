@@ -24,6 +24,7 @@ from ..pose import poses_from_detections
 from .graph import GraphState, init_graph, update_graph, estimate_pose_average
 from .localize import joint_camera_pose
 from .ba import BAState, ba_init, ba_add_frame, ba_optimize, latest_pose
+from .loop import PgoState, pgo_init, pgo_track_frame, apply_node_deltas
 
 Estimator = Literal["reference_chain", "chain_avg", "joint", "ba"]
 
@@ -32,7 +33,7 @@ Estimator = Literal["reference_chain", "chain_avg", "joint", "ba"]
     jax.tree_util.register_dataclass,
     data_fields=[
         "poses", "valid", "reproj_rms", "n_visible", "n_nodes", "avg_node_distance",
-        "coord_id",
+        "coord_id", "loop_closures",
         "node_visible", "node_weight", "node_local", "node_world",
     ],
     meta_fields=[],
@@ -50,6 +51,7 @@ class SlamOutputs:
     # mid-run; evaluating a pose against GT in any other tag's frame injects
     # the full inter-tag offset as phantom error.
     coord_id: jax.Array  # (B,) int32
+    loop_closures: jax.Array  # (B,) int32 cumulative loop edges (0 if PGO off)
     # Per-frame node snapshots for error attribution (the reference logs
     # these per visible node every frame, simulation_engine.py:302-356).
     node_visible: jax.Array  # (B, M) bool
@@ -71,6 +73,10 @@ def build_slam_step(
     ba_obs: int = 512,
     ba_iters_per_frame: int = 3,
     dist_coeffs: jax.Array | None = None,
+    pgo: bool = False,
+    pgo_nodes: int = 64,
+    pgo_edges: int = 192,
+    pgo_loop_gap: int = 24,
 ):
     """Returns (slam_step, init_state) where
     ``slam_step(state, frames) -> (state, SlamOutputs)`` is jittable and
@@ -88,6 +94,7 @@ def build_slam_step(
     from ..slam.graph import average_distance_to_nodes  # local import for clarity
 
     use_ba = estimator == "ba"
+    use_pgo = pgo and use_ba
 
     def scatter_frame(ids, ok, corners, M):
         okm = ok & (ids >= 0) & (ids < M)
@@ -117,7 +124,13 @@ def build_slam_step(
         gate_seeding = estimator in ("joint", "ba")
 
         def per_frame(state, inp):
-            graph, ba = state if use_ba else (state, None)
+            if use_pgo:
+                graph, ba, pgo_s = state
+            elif use_ba:
+                graph, ba = state
+                pgo_s = None
+            else:
+                graph, ba, pgo_s = state, None, None
             M = graph.capacity
             ids, T, T_alt, ok, seed, corners = inp
             graph = update_graph(graph, ids, T, ok & seed if gate_seeding else ok)
@@ -203,6 +216,7 @@ def build_slam_step(
                 window_free = jnp.sum(ba.kf_active) < ba.n_keyframes
                 is_kf = has_cand & (jnp.any(seed_new) | window_free)
 
+                kf_slot = ba.kf_ptr % ba.n_keyframes  # slot the keyframe lands in
                 ba_kf = ba_add_frame(ba, ids, corners, ok, T_init, T, seed_ok=ok & seed)
                 ba_kf = ba_optimize(ba_kf, K, tag_size, iters=ba_iters_per_frame)
                 ba = jax.tree.map(
@@ -218,6 +232,37 @@ def build_slam_step(
                 # relative to it shifts every pose by the inter-tag offset.
                 use = seen & ba.lm_active
                 pose_w, rms = localize(ba.lm_pose, use, T_init, T_wc0b)
+
+                if use_pgo:
+                    # Pose-graph backend: adopt keyframes as nodes, mint
+                    # odometry + loop-closure edges, and when a loop closes
+                    # fold the per-node corrections into the landmark map,
+                    # the BA window, and this frame's pose (slam/loop.py).
+                    #
+                    # A re-observation of a long-unseen landmark must become
+                    # a node even when the keyframe policy would skip it
+                    # (full window, nothing new to seed) — otherwise the
+                    # loop edge has no node to attach to.
+                    maybe_loop = jnp.any(
+                        seen & (pgo_s.lm_node >= 0)
+                        & ((pgo_s.frame - pgo_s.lm_frame) > pgo_loop_gap)
+                    )
+                    is_node = is_kf | (maybe_loop & jnp.any(use))
+                    pgo_s, delta, closed = pgo_track_frame(
+                        pgo_s, pose_w, jnp.any(use), ids, T, ok, is_node,
+                        jnp.where(is_kf, kf_slot, ba.n_keyframes),
+                        loop_gap=pgo_loop_gap,
+                    )
+                    ba = _replace(
+                        ba,
+                        lm_pose=apply_node_deltas(delta, pgo_s.lm_node, ba.lm_pose),
+                        kf_pose=apply_node_deltas(delta, pgo_s.kf_node, ba.kf_pose),
+                    )
+                    last_node = jnp.clip(pgo_s.node_ptr - 1, 0, pgo_nodes - 1)
+                    pose_w = jnp.where(
+                        closed, delta[last_node] @ pose_w, pose_w
+                    )
+
                 coord = graph.coordinate_id
                 c_slot = jnp.clip(coord, 0, Ml - 1)
                 frame_ok = (coord >= 0) & (coord < Ml) & ba.lm_active[c_slot]
@@ -238,11 +283,14 @@ def build_slam_step(
                 n_nodes=jnp.sum(graph.present),
                 avg_node_distance=average_distance_to_nodes(graph),
                 coord_id=graph.coordinate_id,
+                loop_closures=(pgo_s.n_loops if use_pgo else jnp.int32(0)),
                 node_visible=graph.visible,
                 node_weight=graph.weight,
                 node_local=graph.local,
                 node_world=graph.world,
             )
+            if use_pgo:
+                return (graph, ba, pgo_s), out
             return ((graph, ba) if use_ba else graph), out
 
         state, outs = jax.lax.scan(
@@ -252,6 +300,12 @@ def build_slam_step(
 
     def init():
         g = init_graph(graph_capacity)
+        if use_pgo:
+            return (
+                g,
+                ba_init(ba_keyframes, graph_capacity, ba_obs),
+                pgo_init(pgo_nodes, pgo_edges, graph_capacity, ba_keyframes),
+            )
         if use_ba:
             return (g, ba_init(ba_keyframes, graph_capacity, ba_obs))
         return g
@@ -276,6 +330,7 @@ class SlamSystem:
         detector_params: DetectorParams | None = None,
         graph_capacity: int = 64,
         dist_coeffs=None,
+        pgo: bool = False,
     ):
         self._step, self._init = build_slam_step(
             family, camera, tag_size,
@@ -283,6 +338,7 @@ class SlamSystem:
             estimator=estimator,
             graph_capacity=graph_capacity,
             dist_coeffs=dist_coeffs,
+            pgo=pgo,
         )
         self._step = jax.jit(self._step)
         self.state = self._init()
@@ -298,6 +354,10 @@ class SlamSystem:
     @property
     def ba_state(self):
         return self.state[1] if isinstance(self.state, tuple) else None
+
+    @property
+    def pgo_state(self):
+        return self.state[2] if isinstance(self.state, tuple) and len(self.state) > 2 else None
 
     @property
     def coordinate_id(self) -> int:
