@@ -9,6 +9,8 @@ import sys
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="aprilslam_tpu benchmark")
+    p.add_argument("--device", choices=["auto", "cpu", "tpu"], default="auto",
+                   help="execution platform (auto = TPU when present)")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--resolution", type=int, default=1000)
     p.add_argument("--chunks", type=int, default=6)
@@ -17,8 +19,9 @@ def main(argv=None) -> int:
     os.environ["BENCH_BATCH"] = str(args.batch)
     os.environ["BENCH_RES"] = str(args.resolution)
     os.environ["BENCH_CHUNKS"] = str(args.chunks)
-    if args.cpu:
-        os.environ["JAX_PLATFORMS"] = "cpu"
+    from ..utils import configure_runtime
+
+    configure_runtime("cpu" if args.cpu else args.device)
     sys.path.insert(0, os.getcwd())
     import importlib.util
 

@@ -18,6 +18,8 @@ import numpy as np
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="Checkerboard camera calibration")
+    p.add_argument("--device", choices=["auto", "cpu", "tpu"], default="auto",
+                   help="execution platform (auto = TPU when present)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     cap = sub.add_parser("capture", help="capture calibration images from a camera")
@@ -35,6 +37,9 @@ def main(argv=None) -> int:
     sol.add_argument("--report-dir", default="data/logs")
 
     args = p.parse_args(argv)
+    from ..utils import configure_runtime
+
+    configure_runtime(args.device)
     logging.basicConfig(level=logging.INFO, format="%(message)s")
     log = logging.getLogger("calibrate")
 

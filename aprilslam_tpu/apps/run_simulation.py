@@ -23,6 +23,8 @@ def parse_arguments(argv=None):
         description="TPU-native AprilTag SLAM simulation",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
+    p.add_argument("--device", choices=["auto", "cpu", "tpu"], default="auto",
+                   help="execution platform (auto = TPU when present)")
     p.add_argument("--config", "-c", default=None, help="scene config JSON path")
     p.add_argument("--no-movement", action="store_true",
                    help="Monte Carlo teleporting camera (reference parity mode)")
@@ -98,6 +100,9 @@ def colour_for(err_mm: float) -> str:
 
 def main(argv=None) -> int:
     args = parse_arguments(argv)
+    from ..utils import configure_runtime
+
+    configure_runtime(args.device)
     setup_logging(args.debug)
     log = logging.getLogger("aprilslam")
 

@@ -45,6 +45,8 @@ def initialize_camera(source, width=640, height=480, fps=30):
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="AprilTag detection on camera/video")
+    p.add_argument("--device", choices=["auto", "cpu", "tpu"], default="auto",
+                   help="execution platform (auto = TPU when present)")
     p.add_argument("--source", default="0", help="device id or video file path")
     p.add_argument("--calibration", default="data/calibration/camera_calibration_parameters.npz")
     p.add_argument("--family", default="tagStandard41h12")
@@ -54,6 +56,9 @@ def main(argv=None) -> int:
     p.add_argument("--display", action="store_true", help="cv2 window overlay")
     p.add_argument("--decimate", type=int, default=2)
     args = p.parse_args(argv)
+    from ..utils import configure_runtime
+
+    configure_runtime(args.device)
     logging.basicConfig(level=logging.INFO, format="%(message)s")
     log = logging.getLogger("video")
 

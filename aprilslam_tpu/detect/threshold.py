@@ -75,12 +75,28 @@ def _box3(x: jax.Array) -> jax.Array:
     return (xp[:, :, :-2] + xp[:, :, 1:-1] + xp[:, :, 2:]) * (1.0 / 3.0)
 
 
-@partial(jax.jit, static_argnames=("tile", "min_contrast", "smooth"))
+def estimate_noise_sigma(frames: jax.Array) -> jax.Array:
+    """Robust per-frame noise sigma from horizontal first differences.
+
+    For i.i.d. Gaussian sensor noise, |x[i+1] - x[i]| has median
+    0.6745 * sqrt(2) * sigma ~= 0.954 * sigma in uniform regions; the
+    median ignores the sparse real edges, so clean renders estimate ~0.
+    Rows are subsampled 2x: the estimate needs ~1e5 samples, not 1e6.
+    Returns (B,) sigma estimates.
+    """
+    B = frames.shape[0]
+    d = jnp.abs(frames[:, ::2, 1:] - frames[:, ::2, :-1])
+    return jnp.median(d.reshape(B, -1), axis=-1) / 0.954
+
+
+@partial(jax.jit, static_argnames=("tile", "min_contrast", "smooth", "noise_adapt", "noise_mult"))
 def adaptive_threshold_with_levels(
     frames: jax.Array,
     tile: int = 4,
     min_contrast: float = 0.1,
     smooth: bool = True,
+    noise_adapt: bool = True,
+    noise_mult: float = 3.0,
 ) -> tuple[jax.Array, jax.Array]:
     """(B, H, W) float32 -> (trinary int8, local threshold level float32).
 
@@ -98,6 +114,14 @@ def adaptive_threshold_with_levels(
     smoothing cuts that to ~2*sigma while leaving straight-edge crossings
     unbiased (the filter is symmetric). The subpixel boundary interpolation
     still uses the ORIGINAL gray image.
+
+    ``noise_adapt`` raises the contrast floor to ``noise_mult`` * the
+    frame's estimated sensor-noise sigma: tile min/max of the 3x3-smoothed
+    image inflate by ~1.5 sigma under noise, so a FIXED floor below that
+    turns every uniform tile "known" and floods the component stage with
+    random speckle (the round-2 robustness-suite collapse at sigma=0.05).
+    Real tag edges have contrast >= 0.3 even under heavy vignette/gamma, so
+    the adaptive floor costs no true detections.
     """
     B, H, W = frames.shape
     stats_src = _box3(frames) if smooth else frames
@@ -115,7 +139,11 @@ def adaptive_threshold_with_levels(
         )
     mid = 0.5 * (up_min + up_max)
     white = (stats_src if smooth else frames) > mid
-    known = (up_max - up_min) >= min_contrast
+    if noise_adapt:
+        floor = jnp.maximum(min_contrast, noise_mult * estimate_noise_sigma(frames))
+        known = (up_max - up_min) >= floor[:, None, None]
+    else:
+        known = (up_max - up_min) >= min_contrast
     return jnp.where(known, white.astype(jnp.int8), jnp.int8(-1)), mid
 
 

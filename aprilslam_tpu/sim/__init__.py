@@ -6,6 +6,7 @@ from .ground_truth import (
     tag_to_tag_distance,
     closest_tag,
     visibility_by_distance,
+    tags_unoccluded,
 )
 from .rasterizer import SceneTensors, scene_tensors, render_frames, project_border_corners, render_sequence
 from . import trajectory
@@ -22,6 +23,7 @@ __all__ = [
     "tag_to_tag_distance",
     "closest_tag",
     "visibility_by_distance",
+    "tags_unoccluded",
     "SceneTensors",
     "scene_tensors",
     "render_frames",

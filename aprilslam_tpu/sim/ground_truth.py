@@ -102,3 +102,55 @@ def visibility_by_distance(
 ) -> jax.Array:
     """(..., T) bool visibility gate (ground_truth.py:340-359)."""
     return tag_distances_from_camera(tag_pos, cam_pos) <= max_distance
+
+
+def tags_unoccluded(
+    tag_pos: jax.Array,  # (T, 3) GL world
+    tag_rot_deg: jax.Array,  # (T, 3)
+    cam_pos: jax.Array,  # (B, 3)
+    inner_size: float,
+    outer_half: float,
+    eps: float = 1e-3,
+) -> jax.Array:
+    """(B, T) bool: no OTHER tag's rendered quad blocks the camera's view of
+    any of this tag's 5 sample points (inner-border corners + centre).
+
+    The analytic corner oracle (project_border_corners) has no occlusion
+    model, but the z-buffered rasterizer does — a test that scores detection
+    against the raw oracle "expects" tags the renderer correctly hid behind
+    nearer tags. This closes that gap analytically: segment-vs-quad
+    intersection against every other tag's OUTER quad, batched.
+    """
+    T = tag_pos.shape[0]
+    R_w_tag = tag_world_rotations(tag_rot_deg)  # (T, 3, 3)
+    half = inner_size / 2.0
+    local = jnp.asarray(
+        [
+            [-half, -half, 0.0],
+            [half, -half, 0.0],
+            [half, half, 0.0],
+            [-half, half, 0.0],
+            [0.0, 0.0, 0.0],
+        ],
+        dtype=tag_pos.dtype,
+    )  # (5, 3)
+    # Sample points on each tag, world frame: (T, 5, 3)
+    P = jnp.einsum("tij,pj->tpi", R_w_tag, local) + tag_pos[:, None, :]
+
+    n = R_w_tag[:, :, 2]  # (S, 3) occluder plane normals
+    C = cam_pos  # (B, 3)
+    # Ray C -> P[t, p]; occluder s: plane (tag_pos[s], n[s]).
+    d = P[None, :, :, :] - C[:, None, None, :]  # (B, T, 5, 3)
+    num = jnp.einsum("si,si->s", n, tag_pos)[None, :] - jnp.einsum(
+        "si,bi->bs", n, C
+    )  # (B, S): dot(n_s, p_s - C)
+    den = jnp.einsum("si,btpi->btps", n, d)  # (B, T, 5, S)
+    tau = num[:, None, None, :] / jnp.where(jnp.abs(den) < 1e-9, 1e-9, den)
+    hit = C[:, None, None, None, :] + tau[..., None] * d[:, :, :, None, :]  # (B,T,5,S,3)
+    q = jnp.einsum("sji,btpsj->btpsi", jnp.swapaxes(R_w_tag, -1, -2), hit - tag_pos[None, None, None, :, :])
+    inside = (jnp.abs(q[..., 0]) <= outer_half) & (jnp.abs(q[..., 1]) <= outer_half)
+    blocking = inside & (tau > eps) & (tau < 1.0 - eps) & (jnp.abs(den) >= 1e-9)
+    # A tag never occludes itself.
+    not_self = ~jnp.eye(T, dtype=bool)[None, :, None, :]
+    blocked = jnp.any(blocking & not_self, axis=(-1, -2))  # (B, T)
+    return ~blocked

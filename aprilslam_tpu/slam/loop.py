@@ -164,6 +164,14 @@ def pgo_track_frame(
     delta = jax.vmap(lambda nw, od, act: jnp.where(act, nw @ se3_inverse(od), jnp.eye(4, dtype=dtype)))(
         new_pose, node_pose, node_active
     )
+    # Without a loop closure no optimization ran, so the correction is the
+    # EXACT identity — never T @ inv(T), whose float32 residue (~1e-4 su at
+    # scene scale), applied to the landmark map every frame, feeds back
+    # through BA/localization with gain > 1 and diverges exponentially
+    # (x3/frame measured; the round-2 --pgo corruption). I @ T is exact in
+    # IEEE arithmetic, so the pgo=off and pgo=on paths now agree bit-for-bit
+    # until the first genuine loop closure.
+    delta = jnp.where(has_loop, delta, jnp.broadcast_to(jnp.eye(4, dtype=dtype), delta.shape))
 
     # Bookkeeping. lm_frame refreshes on EVERY sighting (gap is wall-frame
     # based); lm_node / lm_obs_T only on node frames (edges need a node).

@@ -1,4 +1,12 @@
+from .cache import enable_compilation_cache, configure_runtime
 from .checkpoint import CheckpointManager
 from .profiling import StageTimer, FpsCounter, trace
 
-__all__ = ["CheckpointManager", "StageTimer", "FpsCounter", "trace"]
+__all__ = [
+    "CheckpointManager",
+    "StageTimer",
+    "FpsCounter",
+    "trace",
+    "enable_compilation_cache",
+    "configure_runtime",
+]

@@ -1,35 +1,75 @@
 #!/usr/bin/env python3
 """Benchmark: full SLAM pipeline throughput + accuracy + per-stage breakdown.
 
-Prints ONE JSON line:
+PRINT-FIRST CONTRACT: the headline JSON line
+
   {"metric": "frames_per_sec_per_chip", "value": N, "unit": "frames/s",
-   "vs_baseline": N / 2.69, "stage_ms_per_frame": {...},
-   "batch_sweep_fps": {...}, ...extras}
+   "vs_baseline": N / 2.69, "ate_rmse_sim_units": ..., "valid_pose_rate": ...}
+
+is printed (and flushed, and mirrored to BENCH_partial.json) IMMEDIATELY
+after the timed loop — before any optional extras — so a driver timeout can
+never lose the number.  Extras (batch sweep, per-stage breakdown) each cost
+a fresh ~35-40 s XLA compile on this backend, so they run only while wall
+clock remains inside BENCH_BUDGET_S (default 360 s); whatever finished is
+merged into a second, enriched JSON line printed at the very end.  Both
+lines carry the same headline keys, so a parser taking either the first or
+the last JSON line of stdout gets a complete result.
 
 Baseline: the reference's measured 2.69 FPS end-to-end loop on CPU
-(BASELINE.md; 570 frames / 211.8 s). Extras report the ATE RMSE in sim units
-against the analytic ground truth (reference bar: 1.797), the valid-pose
-rate, a batch sweep {8, 16, 32}, and a per-stage ms/frame breakdown
-(threshold / CCL / quads / decode+refine / PnP / graph+BA) so the next
-optimization target is visible. Frames are reference-resolution 1000x1000,
-Monte-Carlo camera poses (the --no-movement benchmark mode,
-simulation_engine.py:92). >=512 frames are timed by cycling pre-rendered
-chunks through the jitted step in steady state.
+(BASELINE.md; 570 frames / 211.8 s; /root/reference/README.md:306 claims
+"about 3 fps").  ATE is reported in sim units against the analytic ground
+truth (reference bar: 1.797, BASELINE.md).  Frames are reference-resolution
+1000x1000, Monte-Carlo camera poses (the --no-movement benchmark mode,
+/root/reference/src/simulation/simulation_engine.py:92).  >=512 frames are
+timed by cycling pre-rendered chunks through the jitted step in steady
+state.
 
 Env knobs: BENCH_BATCH (headline batch), BENCH_RES, BENCH_CHUNKS,
-BENCH_PASSES, BENCH_SWEEP=0 to skip the sweep, BENCH_STAGES=0 to skip the
-breakdown, BENCH_ESTIMATOR.
+BENCH_PASSES, BENCH_BUDGET_S (wall-clock budget for extras),
+BENCH_SWEEP=0 to skip the sweep, BENCH_STAGES=0 to skip the breakdown,
+BENCH_ESTIMATOR.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_bench")
+_T0 = time.perf_counter()
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "360"))
+_PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_partial.json")
+
+from aprilslam_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
 
 import numpy as np
+
+
+def _elapsed() -> float:
+    return time.perf_counter() - _T0
+
+
+def _log(msg: str) -> None:
+    """Progress telemetry on stderr (stdout carries only JSON lines)."""
+    print(f"[bench {_elapsed():6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def _remaining() -> float:
+    return _BUDGET_S - _elapsed()
+
+
+def _emit(result: dict) -> None:
+    """Print a JSON line now and mirror it to BENCH_partial.json."""
+    line = json.dumps(result)
+    print(line, flush=True)
+    try:
+        with open(_PARTIAL_PATH, "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
 
 
 def _time_fn(fn, args, reps, warmup=2):
@@ -46,12 +86,16 @@ def _time_fn(fn, args, reps, warmup=2):
     return float(np.median(ts))
 
 
-def stage_breakdown(cfg, cam, frames, params, reps=8):
+def stage_breakdown(cfg, cam, frames, params, reps=8, min_remaining=45.0):
     """Per-stage ms/frame on one frame chunk, each stage jitted separately
-    and fed the previous stage's materialized output."""
+    and fed the previous stage's materialized output.
+
+    Each stage compile costs ~35-40 s on this backend, so the budget is
+    re-checked before every stage; stages that don't fit are skipped and
+    listed under "skipped".
+    """
     import jax
     import jax.numpy as jnp
-    from functools import partial
 
     from aprilslam_tpu.detect.threshold import to_grayscale, decimate, adaptive_threshold_with_levels
     from aprilslam_tpu.detect.segment import connected_components_auto
@@ -67,43 +111,59 @@ def stage_breakdown(cfg, cam, frames, params, reps=8):
     B = frames.shape[0]
     K = jnp.asarray(cam.matrix)
 
-    thresh = jax.jit(lambda f: adaptive_threshold_with_levels(
-        decimate(to_grayscale(f), p.quad_decimate), tile=p.tile, min_contrast=p.min_contrast))
+    ms: dict[str, float] = {}
+    skipped: list[str] = []
+
+    def fits(name: str) -> bool:
+        if _remaining() > min_remaining:
+            return True
+        skipped.append(name)
+        return False
+
     gray = to_grayscale(frames)
-    trinary, level = thresh(frames)
-
-    ccl = jax.jit(lambda t: connected_components_auto(t, p.scan_iters, p.jump_iters))
-    labels = ccl(trinary)
-
-    quads_fn = jax.jit(lambda t, l, g, lv: quad_candidates(
-        t, l, g, p.quad_decimate, lv,
-        max_clusters=p.max_clusters, max_quads=p.max_quads,
-        pts_per_quad=p.pts_per_quad, min_cluster_pts=p.min_cluster_pts,
-        min_side=p.min_side, refine_iters=p.refine_iters,
-        max_fit_err=p.max_fit_err, max_boundary=p.max_boundary))
     dec = decimate(gray, p.quad_decimate)
-    quads = quads_fn(trinary, labels, dec, level)
+    trinary = level = labels = quads = det = None
 
-    decode = jax.jit(lambda g, q: decode_quads(
-        g, q, ft, max_hamming=p.max_hamming,
-        min_level_contrast=p.min_level_contrast, max_detections=p.max_detections))
-    det = decode(gray, quads)
+    if fits("threshold"):
+        thresh = jax.jit(lambda f: adaptive_threshold_with_levels(
+            decimate(to_grayscale(f), p.quad_decimate), tile=p.tile, min_contrast=p.min_contrast))
+        trinary, level = thresh(frames)
+        ms["threshold"] = _time_fn(thresh, (frames,), reps) / B * 1e3
 
-    refine = jax.jit(lambda g, c, v: refine_corners(
-        g, c, v, ns=p.refine_samples, half_range=p.refine_range))
-    _ = refine(gray, det.corners, det.valid)
+    if trinary is not None and fits("ccl"):
+        ccl = jax.jit(lambda t: connected_components_auto(t, p.scan_iters, p.jump_iters))
+        labels = ccl(trinary)
+        ms["ccl"] = _time_fn(ccl, (trinary,), reps) / B * 1e3
 
-    pnp = jax.jit(lambda d: poses_from_detections(d, K, cfg.tag_size_inner))
-    _ = pnp(det)
+    if labels is not None and fits("quads"):
+        quads_fn = jax.jit(lambda t, l, g, lv: quad_candidates(
+            t, l, g, p.quad_decimate, lv,
+            max_clusters=p.max_clusters, max_quads=p.max_quads,
+            pts_per_quad=p.pts_per_quad, min_cluster_pts=p.min_cluster_pts,
+            min_side=p.min_side, refine_iters=p.refine_iters,
+            max_fit_err=p.max_fit_err, max_boundary=p.max_boundary))
+        quads = quads_fn(trinary, labels, dec, level)
+        ms["quads"] = _time_fn(quads_fn, (trinary, labels, dec, level), reps) / B * 1e3
 
-    ms = {}
-    ms["threshold"] = _time_fn(thresh, (frames,), reps) / B * 1e3
-    ms["ccl"] = _time_fn(ccl, (trinary,), reps) / B * 1e3
-    ms["quads"] = _time_fn(quads_fn, (trinary, labels, dec, level), reps) / B * 1e3
-    ms["decode"] = _time_fn(decode, (gray, quads), reps) / B * 1e3
-    ms["refine"] = _time_fn(refine, (gray, det.corners, det.valid), reps) / B * 1e3
-    ms["pnp"] = _time_fn(pnp, (det,), reps) / B * 1e3
-    return ms
+    if quads is not None and fits("decode"):
+        decode = jax.jit(lambda g, q: decode_quads(
+            g, q, ft, max_hamming=p.max_hamming,
+            min_level_contrast=p.min_level_contrast, max_detections=p.max_detections))
+        det = decode(gray, quads)
+        ms["decode"] = _time_fn(decode, (gray, quads), reps) / B * 1e3
+
+    if det is not None and fits("refine"):
+        refine = jax.jit(lambda g, c, v: refine_corners(
+            g, c, v, ns=p.refine_samples, half_range=p.refine_range))
+        _ = refine(gray, det.corners, det.valid)
+        ms["refine"] = _time_fn(refine, (gray, det.corners, det.valid), reps) / B * 1e3
+
+    if det is not None and fits("pnp"):
+        pnp = jax.jit(lambda d: poses_from_detections(d, K, cfg.tag_size_inner))
+        _ = pnp(det)
+        ms["pnp"] = _time_fn(pnp, (det,), reps) / B * 1e3
+
+    return ms, skipped
 
 
 def main():
@@ -123,6 +183,7 @@ def main():
     do_sweep = os.environ.get("BENCH_SWEEP", "1") != "0"
     do_stages = os.environ.get("BENCH_STAGES", "1") != "0"
 
+    _log("imports done; building scene")
     cfg = SceneConfig.from_file()
     cam = PinholeCamera.from_fov(W, H, cfg.fov_y)
     scene = scene_tensors(cfg)
@@ -145,16 +206,20 @@ def main():
     step = jax.jit(step)
 
     # Pre-render all frame chunks on device (the harness, not the benchmark).
+    _log("rendering chunks (render compile)")
     chunks = [
         render_frames(scene, pos[i * B : (i + 1) * B], rot[i * B : (i + 1) * B], K_inv, H, W, 2)
         for i in range(n_chunks)
     ]
     jax.block_until_ready(chunks)
+    _log("chunks ready; compiling slam step")
 
     # Warmup / compile.
     state = init()
     state, outs = step(state, chunks[0])
     jax.block_until_ready(outs)
+    compile_done_s = _elapsed()
+    _log("step compiled; accuracy pass")
 
     # Accuracy pass: one sweep over the distinct chunks from a fresh state.
     state = init()
@@ -163,6 +228,7 @@ def main():
         state, outs = step(state, c)
         all_outs.append(outs)
     jax.block_until_ready(all_outs)
+    _log("accuracy pass done; timed loop")
 
     # Timed: steady state, >=512 frames by cycling the pre-rendered chunks.
     t0 = time.perf_counter()
@@ -173,26 +239,28 @@ def main():
     dt = time.perf_counter() - t0
     frames_timed = passes * n_chunks * B
     fps = frames_timed / dt
+    _log(f"timed loop done: {fps:.1f} fps")
 
     # Accuracy: ATE vs analytic GT, each frame in ITS OWN coordinate frame
     # (the anchor is the lowest id seen so far and can change mid-run).
-    import numpy as _np
-
     ids = cfg.tag_ids()
-    gt_all = _np.asarray(
+    gt_all = np.asarray(
         camera_in_tag_frames(
             jnp.asarray(cfg.tag_positions()), jnp.asarray(cfg.tag_rotations()), pos, rot
         )
     )  # (N, T, 4, 4)
-    est = _np.concatenate([_np.asarray(o.poses) for o in all_outs])
-    valid = _np.concatenate([_np.asarray(o.valid) for o in all_outs])
-    coord = _np.concatenate([_np.asarray(o.coord_id) for o in all_outs])
+    est = np.concatenate([np.asarray(o.poses) for o in all_outs])
+    valid = np.concatenate([np.asarray(o.valid) for o in all_outs])
+    coord = np.concatenate([np.asarray(o.coord_id) for o in all_outs])
     id_to_idx = {int(t): i for i, t in enumerate(ids)}
-    t_idx = _np.array([id_to_idx.get(int(c), -1) for c in coord])
+    t_idx = np.array([id_to_idx.get(int(c), -1) for c in coord])
     valid = valid & (t_idx >= 0)
-    gt = gt_all[_np.arange(len(est)), _np.clip(t_idx, 0, len(ids) - 1)]
-    errs = _np.linalg.norm(est[valid, :3, 3] - gt[valid, :3, 3], axis=-1)
-    ate_rmse = float(_np.sqrt(_np.mean(errs**2))) if len(errs) else float("nan")
+    gt = gt_all[np.arange(len(est)), np.clip(t_idx, 0, len(ids) - 1)]
+    errs = np.linalg.norm(est[valid, :3, 3] - gt[valid, :3, 3], axis=-1)
+    ate_rmse = float(np.sqrt(np.mean(errs**2))) if len(errs) else float("nan")
+    # Honest accounting: ATE over valid frames only, but the invalid count is
+    # reported alongside so the exclusion is visible.
+    n_invalid = int((~valid).sum())
 
     result = {
         "metric": "frames_per_sec_per_chip",
@@ -201,17 +269,28 @@ def main():
         "vs_baseline": round(fps / 2.69, 2),
         "ate_rmse_sim_units": round(ate_rmse, 4),
         "ate_rmse_baseline": 1.797,
-        "valid_pose_rate": round(float(valid.mean()), 3),
+        "valid_pose_rate": round(float(valid.mean()), 4),
+        "invalid_frames": n_invalid,
         "batch": B,
         "resolution": f"{W}x{H}",
         "frames_timed": frames_timed,
+        "compile_s": round(compile_done_s, 1),
         "device": str(jax.devices()[0]),
     }
+
+    # ---- PRINT-FIRST: the headline goes out NOW, before any extras. ----
+    _emit(result)
+
+    # ---- Extras, each gated on remaining wall-clock budget. ----
+    extras_skipped: list[str] = []
 
     if do_sweep:
         sweep = {str(B): round(fps, 2)}
         for Bs in (16, 32):
             if Bs == B:
+                continue
+            if _remaining() < 60.0:
+                extras_skipped.append(f"sweep_batch_{Bs}")
                 continue
             trj = trajectory.monte_carlo(Bs, seed=5)
             ch = render_frames(
@@ -219,12 +298,14 @@ def main():
                 K_inv, H, W, 2,
             )
             jax.block_until_ready(ch)
-            step_s, init_s = build_slam_step(
+            _log(f"sweep batch {Bs}: compiling")
+            # Different batch => different shapes => a fresh compile is
+            # unavoidable; the persistent cache serves repeat invocations.
+            step_s = jax.jit(build_slam_step(
                 cfg.family, cam, cfg.tag_size_inner,
                 detector_params=params, estimator="ba",
-            )
-            step_s = jax.jit(step_s)
-            st = init_s()
+            )[0])
+            st = init()
             st, o = step_s(st, ch)
             jax.block_until_ready(o)
             n_pass = max(1, 128 // Bs)
@@ -233,15 +314,29 @@ def main():
                 st, o = step_s(st, ch)
             jax.block_until_ready(o)
             sweep[str(Bs)] = round(n_pass * Bs / (time.perf_counter() - t0), 2)
+            _emit({**result, "batch_sweep_fps": sweep})
         result["batch_sweep_fps"] = sweep
 
     if do_stages:
-        ms = stage_breakdown(cfg, cam, chunks[0], params)
-        full_ms = 1e3 / fps
-        ms["slam_scan"] = round(max(0.0, full_ms - sum(ms.values())), 3)
-        result["stage_ms_per_frame"] = {k: round(v, 3) for k, v in ms.items()}
+        _log("stage breakdown")
+        if _remaining() > 45.0:
+            ms, stage_skipped = stage_breakdown(cfg, cam, chunks[0], params)
+            full_ms = 1e3 / fps
+            measured = sum(ms.values())
+            if not stage_skipped:
+                ms["slam_scan"] = max(0.0, full_ms - measured)
+            result["stage_ms_per_frame"] = {k: round(v, 3) for k, v in ms.items()}
+            if stage_skipped:
+                extras_skipped.extend(f"stage_{s}" for s in stage_skipped)
+        else:
+            extras_skipped.append("stage_breakdown")
 
-    print(json.dumps(result))
+    if extras_skipped:
+        result["extras_skipped"] = extras_skipped
+    result["total_s"] = round(_elapsed(), 1)
+
+    # ---- Enriched final line (a superset of the headline keys). ----
+    _emit(result)
 
 
 if __name__ == "__main__":

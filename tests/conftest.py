@@ -22,6 +22,14 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    """Per-test deterministic RNG.
+
+    Function-scoped on purpose: a session-scoped generator makes every
+    downstream test's random stream depend on which tests ran before it,
+    so any -k subsetting or reordering changes the data a test sees
+    (round-2 VERDICT weak #6). A fresh fixed-seed generator per test is
+    deterministic under arbitrary selection and ordering.
+    """
     return np.random.default_rng(0)

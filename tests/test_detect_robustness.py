@@ -27,6 +27,7 @@ from aprilslam_tpu.sim import (
     render_frames,
     project_border_corners,
     degrade,
+    tags_unoccluded,
 )
 from aprilslam_tpu.sim.config import TagConfig
 
@@ -42,6 +43,12 @@ def clean_scene():
     rot = jnp.zeros((3, 3), jnp.float32)
     frames = render_frames(scene, pos, rot, jnp.asarray(cam.inv_matrix), RES, RES, 2)
     gt_uv, gt_valid = project_border_corners(scene, pos, rot, jnp.asarray(cam.matrix))
+    # The raw oracle has no occlusion model but the z-buffered renderer
+    # does: from pose [10,2,0] tag 1 sits entirely behind tag 0, so the
+    # detector can never (and should never) report it. Scope "expected"
+    # to analytically unoccluded tags.
+    unocc = tags_unoccluded(scene.tag_pos, scene.tag_rot, pos, scene.inner_size, scene.outer_half)
+    gt_valid = gt_valid & unocc
     det = TagDetector(cfg.family, DetectorParams(quad_decimate=1, min_cluster_pts=12))
     return cfg, cam, scene, frames, np.asarray(gt_uv), np.asarray(gt_valid), det
 
@@ -77,11 +84,11 @@ class TestSensorNoise:
     def test_noise_sweep(self, clean_scene):
         cfg, cam, scene, frames, gt_uv, gt_valid, det = clean_scene
         key = jax.random.PRNGKey(7)
-        for sigma, min_rate, max_rms in [(0.02, 1.0, 0.6), (0.05, 1.0, 0.9), (0.10, 0.85, 1.5)]:
+        for sigma, min_rate, max_rms in [(0.02, 1.0, 0.6), (0.05, 1.0, 0.8), (0.10, 1.0, 1.0)]:
             noisy = degrade.gaussian_noise(frames, sigma, key)
             out = det.detect(noisy)
             found, expected, rms, false_ids = _score(out, scene, gt_uv, gt_valid)
-            assert expected >= 5
+            assert expected >= 5  # 6 unoccluded in-view tags over the 3 poses
             rate = found / expected
             assert rate >= min_rate, (sigma, rate)
             assert rms <= max_rms, (sigma, rms)
@@ -134,7 +141,7 @@ class TestObliqueAngles:
             tags = (
                 TagConfig(id=0, position=np.array([0.0, 0.0, -50.0]),
                           rotation=np.array([0.0, tilt, 0.0])),
-                TagConfig(id=1, position=np.array([25.0, 0.0, -50.0]),
+                TagConfig(id=1, position=np.array([20.0, 0.0, -50.0]),
                           rotation=np.array([tilt, 0.0, 0.0])),
             )
             cfg = SceneConfig(

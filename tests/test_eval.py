@@ -138,7 +138,10 @@ class TestAnalysis:
         with open(p, "w", newline="") as f:
             w = csv.writer(f)
             w.writerow(["A", "B", "Translation_Error"])
-            for i in range(50):
+            # 400 samples puts the sample cov of the independent column B at
+            # ~0.1 sigma, so the 0.5 bound is ~5 sigma (and the per-test rng
+            # fixture makes the draw deterministic regardless of ordering).
+            for i in range(400):
                 a = rng.normal()
                 w.writerow([a, rng.normal(), 2 * a + rng.normal() * 0.01])
         rep = covariance_report(str(p))
