@@ -77,21 +77,33 @@ def so3_log(R: jax.Array) -> jax.Array:
     """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
-    # Generic branch: w = theta/(2 sin theta) * vee(R - R^T)
+    # DERIVATIVE SAFETY: this function is differentiated (jacfwd in the BA /
+    # PGO optimizers), and arccos/norm have infinite/undefined derivatives at
+    # the branch points (cos = +-1, skew = 0). A `where` only blocks NaNs in
+    # the UNSELECTED branch's tangent; any 0*inf formed inside the selected
+    # expression still poisons it (that silently zeroed every PGO update on
+    # graphs whose odometry edges had bit-exact zero residuals). So every
+    # dangerous primitive gets a bounded-input evaluation, and the selected
+    # small-angle branch is written in terms of cos_theta only.
+    small = cos_theta > 1.0 - 1e-8
+    safe_cos = jnp.clip(cos_theta, -1.0 + 1e-7, 1.0 - 1e-7)
+    theta = jnp.arccos(safe_cos)  # value+tangent finite everywhere
     sin_theta = jnp.sin(theta)
-    small = theta < 1e-4
-    near_pi = theta > jnp.pi - 1e-3
+    near_pi = cos_theta < -1.0 + 5e-7
+    # theta^2 ~= 2(1 - cos) near 0 — smooth in R, no arccos involved.
+    t2 = 2.0 * (1.0 - cos_theta)
     scale = jnp.where(
         small,
-        0.5 + theta * theta / 12.0,
+        0.5 + t2 / 12.0,
         theta / (2.0 * jnp.where(jnp.abs(sin_theta) < _EPS, 1.0, sin_theta)),
     )
     skew = vee(R - jnp.swapaxes(R, -1, -2))
     w_generic = skew * scale[..., None]
     # Near pi the arccos-derived angle is ill-conditioned; recover it from the
     # (well-conditioned) skew magnitude instead: |vee(R - R^T)|/2 = sin(theta).
-    s = jnp.clip(0.5 * jnp.linalg.norm(skew, axis=-1), 0.0, 1.0)
+    s = jnp.clip(
+        0.5 * _safe_sqrt(jnp.sum(skew * skew, axis=-1)), 0.0, 1.0 - 1e-7
+    )
     theta_pi = jnp.pi - jnp.arcsin(s)
     # Axis from the largest column of R + R^T + (1 - trace) I ~ 2(1-cos) aa^T.
     S = R + jnp.swapaxes(R, -1, -2) + (1.0 - trace)[..., None, None] * jnp.broadcast_to(
@@ -100,7 +112,7 @@ def so3_log(R: jax.Array) -> jax.Array:
     diag = jnp.stack([S[..., 0, 0], S[..., 1, 1], S[..., 2, 2]], axis=-1)
     k = jnp.argmax(diag, axis=-1)
     cols = jnp.take_along_axis(S, k[..., None, None].repeat(3, axis=-2), axis=-1)[..., 0]
-    axis = cols / (jnp.linalg.norm(cols, axis=-1, keepdims=True) + _EPS)
+    axis = cols / (_safe_sqrt(jnp.sum(cols * cols, axis=-1))[..., None] + _EPS)
     # Fix the sign so that exp matches: sign from vee(R - R^T) projection
     # (falls back to + when the skew part vanishes at exactly pi).
     proj = jnp.sum(axis * skew, axis=-1)

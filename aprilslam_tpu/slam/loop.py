@@ -32,7 +32,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..geometry import se3_inverse
+from ..geometry import se3_inverse, se3_log
 from .pgo import PoseGraphEdges, edges_init, pgo_optimize
 
 
@@ -40,7 +40,8 @@ from .pgo import PoseGraphEdges, edges_init, pgo_optimize
     jax.tree_util.register_dataclass,
     data_fields=[
         "node_pose", "node_active", "node_ptr", "edges", "edge_ptr",
-        "kf_node", "lm_node", "lm_obs_T", "lm_frame", "frame", "n_loops",
+        "kf_node", "lm_node", "lm_ref", "lm_obs_T", "lm_frame", "frame",
+        "n_loops", "last_opt",
     ],
     meta_fields=[],
 )
@@ -53,10 +54,17 @@ class PgoState:
     edge_ptr: jax.Array  # () int32
     kf_node: jax.Array  # (K,) int32 pose-graph node per BA keyframe ring slot
     lm_node: jax.Array  # (M,) int32 node at landmark's last node-frame obs (-1 never)
+    lm_ref: jax.Array  # (M,) int32 REFERENCE node: first node-frame obs, frozen.
+    #   Loop edges pair (lm_node, lm_obs_T) — the latest sighting; map
+    #   corrections conjugate by lm_ref — the epoch the landmark's geometry
+    #   was seeded in. Reassigning the conjugation node per sighting drags
+    #   landmarks through inconsistent frames on every later optimization
+    #   (measured: far-tag map error 3.5 -> 47 su over 3 loop closures).
     lm_obs_T: jax.Array  # (M, 4, 4) PnP T (tag pose in camera frame) at that node
     lm_frame: jax.Array  # (M,) int32 frame index of last sighting (any frame)
     frame: jax.Array  # () int32 frames processed
     n_loops: jax.Array  # () int32 loop edges minted
+    last_opt: jax.Array  # () int32 frame of the last pose-graph solve
 
     @property
     def n_nodes_capacity(self) -> int:
@@ -80,10 +88,12 @@ def pgo_init(
         edge_ptr=jnp.int32(0),
         kf_node=jnp.full((n_keyframes,), -1, jnp.int32),
         lm_node=jnp.full((n_landmarks,), -1, jnp.int32),
+        lm_ref=jnp.full((n_landmarks,), -1, jnp.int32),
         lm_obs_T=eyeM,
         lm_frame=jnp.zeros((n_landmarks,), jnp.int32),
         frame=jnp.int32(0),
         n_loops=jnp.int32(0),
+        last_opt=jnp.int32(-(1 << 20)),
     )
 
 
@@ -111,7 +121,9 @@ def pgo_track_frame(
     kf_slot: jax.Array,  # () int32 BA keyframe ring slot this node maps to
     loop_gap: int = 24,
     loop_weight: float = 4.0,
-    opt_iters: int = 6,
+    opt_iters: int = 10,
+    cooldown: int = 8,
+    max_loop_residual: float = 15.0,
 ) -> tuple[PgoState, jax.Array, jax.Array]:
     """Returns (new_state, delta (P, 4, 4), closed ()).
 
@@ -144,8 +156,14 @@ def pgo_track_frame(
     eptr = pgo.edge_ptr + jnp.where(odo_do & (pgo.edge_ptr < edges.capacity), 1, 0)
 
     # Loop closure: a long-unseen landmark re-observed on a node frame.
+    # ``cooldown`` suppresses re-optimization while the previous correction
+    # settles (back-to-back solves keep moving old nodes, and every move
+    # drags the landmarks anchored to them).
     gap = pgo.frame - pgo.lm_frame
-    cand = seen & (pgo.lm_node >= 0) & (gap > loop_gap) & can_add
+    cand = (
+        seen & (pgo.lm_node >= 0) & (gap > loop_gap) & can_add
+        & ((pgo.frame - pgo.last_opt) > cooldown)
+    )
     has_loop = jnp.any(cand)
     l = jnp.argmax(cand)
     a = pgo.lm_node[l]
@@ -153,6 +171,19 @@ def pgo_track_frame(
     # inv(T_wc_a) @ T_wc_b = T_a_obs @ inv(T_b_obs): map-independent.
     T_loop = pgo.lm_obs_T[l] @ se3_inverse(T_by[l])
     has_loop = has_loop & (a != nid)
+    # Sanity-gate the measurement: a loop edge whose implied correction is
+    # far larger than any plausible accumulated drift is a bad PnP (e.g. a
+    # wrong planar branch on a distant, oblique re-entry sighting), and one
+    # such edge wrecks the whole graph (measured: a ~50deg-rotation loop
+    # edge twisted a node and swung an 85-unit-lever-arm landmark by 55 su).
+    # Translation and rotation of the SE(3) error are gated SEPARATELY —
+    # the se3-log v component shrinks under large rotations and would let a
+    # flipped measurement through a tangent-norm gate.
+    T_a_cur = pgo.node_pose[jnp.clip(a, 0, P - 1)]
+    E = se3_inverse(T_loop) @ se3_inverse(T_a_cur) @ T_wc
+    t_err = jnp.linalg.norm(E[:3, 3])
+    cos_rot = jnp.clip((E[0, 0] + E[1, 1] + E[2, 2] - 1.0) * 0.5, -1.0, 1.0)
+    has_loop = has_loop & (t_err < max_loop_residual) & (cos_rot > 0.8776)  # < ~0.5 rad
     edges = _edge_scatter(edges, eptr, a, nid, T_loop, loop_weight, has_loop)
     eptr = eptr + jnp.where(has_loop & (eptr < edges.capacity), 1, 0)
 
@@ -174,13 +205,20 @@ def pgo_track_frame(
     delta = jnp.where(has_loop, delta, jnp.broadcast_to(jnp.eye(4, dtype=dtype), delta.shape))
 
     # Bookkeeping. lm_frame refreshes on EVERY sighting (gap is wall-frame
-    # based); lm_node / lm_obs_T only on node frames (edges need a node).
+    # based); lm_node / lm_obs_T only on node frames (edges need a node);
+    # lm_ref is set once, at the landmark's first node-frame sighting.
     upd_node = seen & can_add
     lm_node = jnp.where(upd_node, nid, pgo.lm_node)
+    lm_ref = jnp.where(upd_node & (pgo.lm_ref < 0), nid, pgo.lm_ref)
     lm_obs_T = jnp.where(upd_node[:, None, None], T_by, pgo.lm_obs_T)
     lm_frame = jnp.where(seen, pgo.frame, pgo.lm_frame)
-    kf_node = pgo.kf_node.at[jnp.where(can_add, kf_slot, pgo.kf_node.shape[0])].set(
-        nid, mode="drop"
+    # kf_slot is the ring slot the BA keyframe landed in (callers pass an
+    # out-of-range slot when no keyframe was adopted). If the keyframe WAS
+    # adopted but did not become a node (invalid pose / node capacity), the
+    # slot's mapping must be CLEARED — leaving the previous tenant's node id
+    # behind would conjugate the new keyframe by an unrelated node's delta.
+    kf_node = pgo.kf_node.at[kf_slot].set(
+        jnp.where(can_add, nid, jnp.int32(-1)), mode="drop"
     )
 
     new_state = replace(
@@ -192,10 +230,12 @@ def pgo_track_frame(
         edge_ptr=eptr,
         kf_node=kf_node,
         lm_node=lm_node,
+        lm_ref=lm_ref,
         lm_obs_T=lm_obs_T,
         lm_frame=lm_frame,
         frame=pgo.frame + 1,
         n_loops=pgo.n_loops + jnp.where(has_loop, 1, 0),
+        last_opt=jnp.where(has_loop, pgo.frame, pgo.last_opt),
     )
     return new_state, delta, has_loop
 

@@ -76,23 +76,40 @@ def edges_from_trajectory(poses: jax.Array, noise_free: bool = True) -> PoseGrap
     )
 
 
-def pgo_residuals(poses: jax.Array, edges: PoseGraphEdges) -> jax.Array:
-    """(E, 6) weighted tangent residuals."""
+def pgo_residuals(
+    poses: jax.Array, edges: PoseGraphEdges, rot_weight: float = 25.0
+) -> jax.Array:
+    """(E, 6) weighted tangent residuals.
+
+    ``rot_weight`` scales the rotational (omega) components relative to the
+    translational ones. The raw se3 tangent mixes radians (~1) with scene
+    units (~tens), so unweighted, a 50-degree node rotation costs LESS than
+    a 1-unit translation and the optimizer happily twists nodes to satisfy
+    translation constraints — which swings every landmark anchored to them
+    by (lever arm) x (angle). A weight of the typical node-to-landmark
+    lever arm makes 1 rad of rotation cost what (rot_weight) units of
+    translation do, matching the metric consequences.
+    """
 
     def one(i, j, Tm, w, ok):
         rel = se3_inverse(poses[i]) @ poses[j]
         r = se3_log(se3_inverse(Tm) @ rel)
-        return r * w * ok.astype(poses.dtype)
+        scale = jnp.asarray(
+            [rot_weight, rot_weight, rot_weight, 1.0, 1.0, 1.0], poses.dtype
+        )
+        return r * scale * w * ok.astype(poses.dtype)
 
     return jax.vmap(one)(edges.i, edges.j, edges.T_meas, edges.weight, edges.ok)
 
 
-def pgo_cost(poses: jax.Array, edges: PoseGraphEdges) -> jax.Array:
-    r = pgo_residuals(poses, edges)
+def pgo_cost(
+    poses: jax.Array, edges: PoseGraphEdges, rot_weight: float = 25.0
+) -> jax.Array:
+    r = pgo_residuals(poses, edges, rot_weight)
     return jnp.sum(r * r)
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jax.jit, static_argnames=("iters", "rot_weight"))
 def pgo_optimize(
     poses: jax.Array,  # (N, 4, 4)
     edges: PoseGraphEdges,
@@ -100,6 +117,7 @@ def pgo_optimize(
     iters: int = 10,
     damping: float = 1e-4,
     gauge_weight: float = 1e6,
+    rot_weight: float = 25.0,
 ) -> jax.Array:
     """LM over all poses with tangent perturbations; returns refined poses."""
     N = poses.shape[0]
@@ -110,7 +128,7 @@ def pgo_optimize(
 
     def residual_flat(xi_all, base):
         perturbed = jax.vmap(lambda x, T: se3_exp(x) @ T)(xi_all.reshape(N, 6), base)
-        return pgo_residuals(perturbed, edges).reshape(-1)
+        return pgo_residuals(perturbed, edges, rot_weight).reshape(-1)
 
     eye = jnp.eye(N * 6, dtype=dtype)
     gauge_mask = (jnp.arange(N) == first_active).astype(dtype)
@@ -128,7 +146,7 @@ def pgo_optimize(
         dx = -jnp.linalg.solve(A, g)
         new_poses = jax.vmap(lambda x, T: se3_exp(x) @ T)(dx.reshape(N, 6), poses)
         new_poses = jnp.where(active[:, None, None], new_poses, poses)
-        better = pgo_cost(new_poses, edges) < jnp.sum(r * r)
+        better = pgo_cost(new_poses, edges, rot_weight) < jnp.sum(r * r)
         poses = jnp.where(better, new_poses, poses)
         lam = jnp.clip(jnp.where(better, lam * 0.5, lam * 4.0), 1e-9, 1e4)
         return (poses, lam), None

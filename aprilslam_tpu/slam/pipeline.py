@@ -248,14 +248,17 @@ def build_slam_step(
                         & ((pgo_s.frame - pgo_s.lm_frame) > pgo_loop_gap)
                     )
                     is_node = is_kf | (maybe_loop & jnp.any(use))
+                    # Loop/odometry measurements only from branch-reliable
+                    # PnP (ok & seed): a planar-ambiguous single-tag pose fed
+                    # into a loop edge claims tens of units of phantom drift.
                     pgo_s, delta, closed = pgo_track_frame(
-                        pgo_s, pose_w, jnp.any(use), ids, T, ok, is_node,
+                        pgo_s, pose_w, jnp.any(use), ids, T, ok & seed, is_node,
                         jnp.where(is_kf, kf_slot, ba.n_keyframes),
                         loop_gap=pgo_loop_gap,
                     )
                     ba = _replace(
                         ba,
-                        lm_pose=apply_node_deltas(delta, pgo_s.lm_node, ba.lm_pose),
+                        lm_pose=apply_node_deltas(delta, pgo_s.lm_ref, ba.lm_pose),
                         kf_pose=apply_node_deltas(delta, pgo_s.kf_node, ba.kf_pose),
                     )
                     last_node = jnp.clip(pgo_s.node_ptr - 1, 0, pgo_nodes - 1)
@@ -331,6 +334,9 @@ class SlamSystem:
         graph_capacity: int = 64,
         dist_coeffs=None,
         pgo: bool = False,
+        pgo_nodes: int = 64,
+        pgo_edges: int = 192,
+        pgo_loop_gap: int = 24,
     ):
         self._step, self._init = build_slam_step(
             family, camera, tag_size,
@@ -339,6 +345,9 @@ class SlamSystem:
             graph_capacity=graph_capacity,
             dist_coeffs=dist_coeffs,
             pgo=pgo,
+            pgo_nodes=pgo_nodes,
+            pgo_edges=pgo_edges,
+            pgo_loop_gap=pgo_loop_gap,
         )
         self._step = jax.jit(self._step)
         self.state = self._init()

@@ -160,3 +160,49 @@ class TestMetrics:
         R = np.asarray(project_to_so3(jnp.asarray(M)))
         np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
         assert np.linalg.det(R) > 0.99
+
+
+class TestLogMapDerivatives:
+    """jacfwd/jacrev of the log maps must be finite AT the branch points.
+    arccos/norm have infinite derivatives at cos=+-1 / skew=0; a where()
+    only blocks NaN from the unselected branch's TANGENT, not 0*inf formed
+    inside the selected expression. This silently zeroed every PGO update
+    on graphs whose odometry edges had bit-exact zero residuals (round-3
+    root cause of 'optimizer does nothing')."""
+
+    def test_se3_log_jacfwd_finite_at_identity(self):
+        import jax
+
+        J = jax.jacfwd(se3_log)(jnp.eye(4))
+        assert np.isfinite(np.asarray(J)).all()
+
+    def test_se3_log_jacfwd_finite_near_identity(self):
+        import jax
+
+        for scale in (1e-9, 1e-6, 1e-3, 1e-1):
+            T = np.asarray(se3_exp(jnp.asarray([1.0, -2.0, 0.5, 3.0, 0.1, -1.0]) * scale))
+            J = jax.jacfwd(se3_log)(jnp.asarray(T, jnp.float32))
+            assert np.isfinite(np.asarray(J)).all(), scale
+
+    def test_se3_log_jacfwd_finite_near_pi(self):
+        import jax
+
+        w = jnp.asarray([np.pi - 1e-5, 0.0, 0.0, 0.2, 0.0, 0.0], jnp.float32)
+        T = se3_exp(w)
+        J = jax.jacfwd(se3_log)(T)
+        assert np.isfinite(np.asarray(J)).all()
+
+    def test_composed_residual_grad_finite_at_zero(self):
+        """The PGO residual pattern: d/dxi log(inv(Tm) @ inv(exp(xi) Ti) @ Tj)
+        at xi=0 with Tm exactly equal to inv(Ti) Tj (zero residual)."""
+        import jax
+
+        Ti = se3_exp(jnp.asarray([0.1, 0.2, -0.1, 5.0, -3.0, 1.0], jnp.float32))
+        Tj = se3_exp(jnp.asarray([-0.2, 0.1, 0.3, 1.0, 4.0, -2.0], jnp.float32))
+        Tm = se3_inverse(Ti) @ Tj
+
+        def res(xi):
+            return se3_log(se3_inverse(Tm) @ se3_inverse(se3_exp(xi) @ Ti) @ Tj)
+
+        J = jax.jacfwd(res)(jnp.zeros(6, jnp.float32))
+        assert np.isfinite(np.asarray(J)).all()
