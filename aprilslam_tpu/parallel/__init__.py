@@ -17,6 +17,11 @@ _EXPORTS = {
     "build_distributed_ba": ".distributed_ba",
     "shard_observations_by_owner": ".distributed_ba",
     "stack_ba_states": ".distributed_ba",
+    "build_keyframe_ba": ".keyframe_ba",
+    "KeyframeBAProblem": ".keyframe_ba",
+    "partition_obs_by_keyframe": ".keyframe_ba",
+    "keyframe_ba_cost": ".keyframe_ba",
+    "synthesize_trajectory_problem": ".keyframe_ba",
     "build_parallel_slam": ".sequences",
     "initialize_distributed": ".multihost",
     "is_multiprocess": ".multihost",
