@@ -1,4 +1,4 @@
-from .cache import enable_compilation_cache, configure_runtime
+from .cache import enable_compilation_cache, configure_runtime, tpu_responsive
 from .checkpoint import CheckpointManager
 from .profiling import StageTimer, FpsCounter, trace
 
@@ -9,4 +9,5 @@ __all__ = [
     "trace",
     "enable_compilation_cache",
     "configure_runtime",
+    "tpu_responsive",
 ]

@@ -45,21 +45,90 @@ def enable_compilation_cache(path: str | None = None) -> str:
     return cache_dir
 
 
-def configure_runtime(device: str = "auto", cache: bool = True) -> None:
-    """One-stop runtime setup for CLI entry points.
+_PROBE_CACHE = "/tmp/aprilslam_tpu_probe.json"
 
-    ``device``: "auto" keeps whatever platform jax resolves (TPU when
-    present), "cpu"/"tpu" force that platform.  Forcing must go through
-    ``jax.config`` — the host sitecustomize exports JAX_PLATFORMS=axon, so
-    setting the env var alone is silently ignored.  Also enables the
-    persistent compilation cache (every first-compile on the axon backend
-    costs minutes; the cache makes every later app/bench invocation skip
-    straight to execution).
+
+def tpu_responsive(timeout_s: float = 90.0, cache_ttl_s: float = 300.0) -> bool:
+    """True if the default (tunnelled TPU) backend runs a trivial op within
+    ``timeout_s`` — probed in a SUBPROCESS, because a dead tunnel hangs the
+    probing process inside backend init where no Python-level timeout can
+    reach it (observed: ``jax.devices()`` blocking for 10+ minutes).
+
+    The verdict is cached on disk for ``cache_ttl_s`` so back-to-back app
+    invocations don't each pay the probe.
     """
+    import json
+    import subprocess
+    import sys
+    import time
+
+    try:
+        with open(_PROBE_CACHE) as f:
+            saved = json.load(f)
+        if time.time() - saved["ts"] < cache_ttl_s:
+            return bool(saved["ok"])
+    except (OSError, ValueError, KeyError):
+        pass
+
+    code = "import jax, jax.numpy as jnp; print(float(jnp.ones((8, 8)).sum()))"
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        ok = r.returncode == 0
+    except subprocess.TimeoutExpired:
+        ok = False
+    try:
+        with open(_PROBE_CACHE, "w") as f:
+            json.dump({"ts": time.time(), "ok": ok}, f)
+    except OSError:
+        pass
+    return ok
+
+
+def configure_runtime(
+    device: str = "auto", cache: bool = True, probe_timeout_s: float = 90.0
+) -> str:
+    """One-stop runtime setup for CLI entry points.  Returns the platform
+    that was configured ("auto" if jax's own resolution was kept).
+
+    ``device``: "cpu"/"tpu" force that platform; "auto" resolves in three
+    steps: (1) a JAX_PLATFORMS=cpu environment request is honoured (through
+    ``jax.config`` — the host sitecustomize force-registers the axon TPU
+    platform, so the env var ALONE is silently ignored and, observed in
+    practice, the process then hangs on a dead tunnel the user explicitly
+    tried to avoid); (2) if a TPU platform would win, it is first probed in
+    a subprocess with a deadline (see :func:`tpu_responsive`) — an
+    unresponsive tunnel falls back to CPU with a warning instead of
+    wedging the app forever; (3) otherwise jax's resolution stands.
+
+    Also enables the persistent compilation cache (every first-compile on
+    the axon backend costs minutes; the cache makes every later app/bench
+    invocation skip straight to execution).
+    """
+    import sys
+
     if cache:
         enable_compilation_cache()
+    if device == "auto":
+        env = os.environ.get("JAX_PLATFORMS", "").strip().lower()
+        if env == "cpu":
+            device = "cpu"
+        elif not tpu_responsive(probe_timeout_s):
+            print(
+                "[aprilslam] TPU backend unresponsive "
+                f"(no trivial-op completion within {probe_timeout_s:.0f}s); "
+                "falling back to CPU. Pass --device tpu to insist.",
+                file=sys.stderr,
+                flush=True,
+            )
+            device = "cpu"
     if device and device != "auto":
         import jax
 
         platform = {"tpu": "axon,tpu"}.get(device, device)
         jax.config.update("jax_platforms", platform)
+    return device

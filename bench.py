@@ -41,9 +41,16 @@ _T0 = time.perf_counter()
 _BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "360"))
 _PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_partial.json")
 
-from aprilslam_tpu.utils import enable_compilation_cache
+from aprilslam_tpu.utils import configure_runtime
 
-enable_compilation_cache()
+# "auto" probes the tunnelled TPU backend in a subprocess with a deadline
+# and falls back to CPU if it is unresponsive: a CPU number clearly labelled
+# with its device beats an rc=124/parsed=null (the round-2 failure mode —
+# the tunnel CAN be down for the whole driver window, observed 2026-08-21).
+_DEVICE = configure_runtime(
+    os.environ.get("BENCH_DEVICE", "auto"),
+    probe_timeout_s=float(os.environ.get("BENCH_TPU_PROBE_S", "120")),
+)
 
 import numpy as np
 
@@ -176,12 +183,18 @@ def main():
     from aprilslam_tpu.detect import DetectorParams
     from aprilslam_tpu.slam import build_slam_step
 
-    B = int(os.environ.get("BENCH_BATCH", "8"))
+    on_cpu = _DEVICE == "cpu"
+    if on_cpu:
+        _log("running on CPU (TPU unresponsive or BENCH_DEVICE=cpu); "
+             "shrinking workload so the headline still lands")
+    # CPU fallback defaults keep the same reference resolution but cut the
+    # frame count so the timed loop finishes inside the driver window.
+    B = int(os.environ.get("BENCH_BATCH", "4" if on_cpu else "8"))
     H = W = int(os.environ.get("BENCH_RES", "1000"))
-    n_chunks = int(os.environ.get("BENCH_CHUNKS", "6"))
-    passes = int(os.environ.get("BENCH_PASSES", "11"))  # 11*6*8 = 528 frames
-    do_sweep = os.environ.get("BENCH_SWEEP", "1") != "0"
-    do_stages = os.environ.get("BENCH_STAGES", "1") != "0"
+    n_chunks = int(os.environ.get("BENCH_CHUNKS", "2" if on_cpu else "6"))
+    passes = int(os.environ.get("BENCH_PASSES", "2" if on_cpu else "11"))
+    do_sweep = os.environ.get("BENCH_SWEEP", "0" if on_cpu else "1") != "0"
+    do_stages = os.environ.get("BENCH_STAGES", "0" if on_cpu else "1") != "0"
 
     _log("imports done; building scene")
     cfg = SceneConfig.from_file()
@@ -276,6 +289,8 @@ def main():
         "frames_timed": frames_timed,
         "compile_s": round(compile_done_s, 1),
         "device": str(jax.devices()[0]),
+        **({"device_fallback": "tpu_unresponsive"} if on_cpu and
+           os.environ.get("BENCH_DEVICE", "auto") == "auto" else {}),
     }
 
     # ---- PRINT-FIRST: the headline goes out NOW, before any extras. ----
