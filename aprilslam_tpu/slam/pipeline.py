@@ -72,6 +72,8 @@ def build_slam_step(
     ba_keyframes: int = 16,
     ba_obs: int = 512,
     ba_iters_per_frame: int = 3,
+    ba_schedule: Literal["frame", "chunk"] = "frame",
+    init_joint_iters: int | None = None,
     dist_coeffs: jax.Array | None = None,
     pgo: bool = False,
     pgo_nodes: int = 64,
@@ -85,6 +87,20 @@ def build_slam_step(
     With estimator="ba" the state is (GraphState, BAState): the chaining
     graph provides bootstrap initialization and the sliding-window LM bundle
     adjustment refines keyframes + landmark poses each frame.
+
+    ``ba_schedule="chunk"`` hoists the LM-BA solve OUT of the per-frame
+    scan: keyframe insertion and localization stay per-frame, but the map
+    refinement runs once per chunk (after the scan) with the same total
+    iteration budget. The per-frame scan is the latency-bound part of the
+    step on TPU — hundreds of tiny 6x6 ops per frame that cannot use the
+    MXU — so moving the solver out cuts scan work by ~B x while the map
+    still converges across chunks (PTAM's tracking/mapping split,
+    re-expressed for a jitted chunk pipeline). Not supported with pgo=True
+    (loop closure needs the per-frame refined map).
+
+    ``init_joint_iters`` bounds the GN depth of the PRE-BA localization
+    whose only job is seeding keyframe insertion (the reported pose comes
+    from the post-BA localization at full ``joint_iters``).
     """
     detect = detect_fn(family, detector_params)
     K = jnp.asarray(camera.matrix)
@@ -95,6 +111,11 @@ def build_slam_step(
 
     use_ba = estimator == "ba"
     use_pgo = pgo and use_ba
+    ba_per_frame = ba_schedule == "frame"
+    if not ba_per_frame and pgo:
+        raise ValueError("ba_schedule='chunk' is not supported with pgo=True")
+    if init_joint_iters is None:
+        init_joint_iters = joint_iters
 
     def scatter_frame(ids, ok, corners, M):
         okm = ok & (ids >= 0) & (ids < M)
@@ -189,14 +210,14 @@ def build_slam_step(
                 # GN inherits the planar branch of its init, so try BOTH
                 # PnP branches and keep the better fit (with >=2 tags the
                 # joint corner set disambiguates on its own).
-                def localize(lm_pose, umask, T_init_a, T_init_b):
+                def localize(lm_pose, umask, T_init_a, T_init_b, iters):
                     T_a, r_a = joint_camera_pose(
                         lm_pose, umask, corn_m, K, tag_size, T_init_a,
-                        iters=joint_iters,
+                        iters=iters,
                     )
                     T_b, r_b = joint_camera_pose(
                         lm_pose, umask, corn_m, K, tag_size, T_init_b,
-                        iters=joint_iters,
+                        iters=iters,
                     )
                     pick = r_a <= r_b
                     return (
@@ -206,7 +227,7 @@ def build_slam_step(
 
                 T_wc0 = T_lm @ _se3_inverse(T[c_idx])
                 T_wc0b = T_lm @ _se3_inverse(T_alt[c_idx])
-                T_loc, _ = localize(ba.lm_pose, use, T_wc0, T_wc0b)
+                T_loc, _ = localize(ba.lm_pose, use, T_wc0, T_wc0b, init_joint_iters)
                 T_init = jnp.where(jnp.any(use), T_loc, T_wc0)
 
                 # Keyframe policy: adopt the frame while the window has free
@@ -218,7 +239,8 @@ def build_slam_step(
 
                 kf_slot = ba.kf_ptr % ba.n_keyframes  # slot the keyframe lands in
                 ba_kf = ba_add_frame(ba, ids, corners, ok, T_init, T, seed_ok=ok & seed)
-                ba_kf = ba_optimize(ba_kf, K, tag_size, iters=ba_iters_per_frame)
+                if ba_per_frame:
+                    ba_kf = ba_optimize(ba_kf, K, tag_size, iters=ba_iters_per_frame)
                 ba = jax.tree.map(
                     lambda a, b: jnp.where(is_kf, a, b), ba_kf, ba
                 )
@@ -231,7 +253,7 @@ def build_slam_step(
                 # coordinate tag when ids arrive out of order; reporting
                 # relative to it shifts every pose by the inter-tag offset.
                 use = seen & ba.lm_active
-                pose_w, rms = localize(ba.lm_pose, use, T_init, T_wc0b)
+                pose_w, rms = localize(ba.lm_pose, use, T_init, T_wc0b, joint_iters)
 
                 if use_pgo:
                     # Pose-graph backend: adopt keyframes as nodes, mint
@@ -299,6 +321,17 @@ def build_slam_step(
         state, outs = jax.lax.scan(
             per_frame, state, (det.ids, T_all, T_alt_all, ok_all, seed_all, det.corners)
         )
+        if use_ba and not ba_per_frame:
+            # Chunk-level mapping pass: one LM-BA solve refines the map for
+            # the NEXT chunk's localizations. Budget matches the per-frame
+            # schedule's total (B * ba_iters_per_frame), so accuracy-per-
+            # compute is traded for scan latency, not dropped.
+            B = frames.shape[0]
+            graph, ba = state
+            ba = ba_optimize(
+                ba, K, tag_size, iters=min(B * ba_iters_per_frame, 16)
+            )
+            state = (graph, ba)
         return state, outs
 
     def init():
@@ -337,6 +370,8 @@ class SlamSystem:
         pgo_nodes: int = 64,
         pgo_edges: int = 192,
         pgo_loop_gap: int = 24,
+        ba_schedule: Literal["frame", "chunk"] = "frame",
+        init_joint_iters: int | None = None,
     ):
         self._step, self._init = build_slam_step(
             family, camera, tag_size,
@@ -348,6 +383,8 @@ class SlamSystem:
             pgo_nodes=pgo_nodes,
             pgo_edges=pgo_edges,
             pgo_loop_gap=pgo_loop_gap,
+            ba_schedule=ba_schedule,
+            init_joint_iters=init_joint_iters,
         )
         self._step = jax.jit(self._step)
         self.state = self._init()

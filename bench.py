@@ -213,6 +213,7 @@ def main():
         cfg.tag_size_inner,
         detector_params=params,
         estimator=os.environ.get("BENCH_ESTIMATOR", "ba"),
+        ba_schedule=os.environ.get("BENCH_BA_SCHEDULE", "frame"),
     )
     # NOTE: no donate_argnums — buffer donation trips an INVALID_ARGUMENT in
     # the axon TPU backend (verified empirically; works fine without).

@@ -171,3 +171,56 @@ class TestEndToEndSlam:
         bar = {"chain_avg": 0.9, "joint": 0.75, "ba": 0.5}[estimator]
         assert rmse < bar, (estimator, rmse, terrs)
         assert np.mean(rerrs) < 0.05, rerrs
+
+
+class TestBAChunkSchedule:
+    """ba_schedule='chunk' hoists the LM-BA solve out of the per-frame scan
+    (the TPU latency optimization); accuracy must stay in the same regime."""
+
+    def test_chunk_schedule_accuracy(self):
+        cfg = SceneConfig.from_file()
+        cam = PinholeCamera.from_fov(512, 512, cfg.fov_y)
+        scene = scene_tensors(cfg)
+        traj = trajectory.scripted_line(
+            12, np.array([0.0, 0.0, 20.0]), np.array([8.0, 2.0, -10.0])
+        )
+        pos = jnp.asarray(traj.positions)
+        rot = jnp.asarray(traj.rotations)
+        frames = render_frames(scene, pos, rot, jnp.asarray(cam.inv_matrix), 512, 512, 2)
+
+        rmses = {}
+        for sched in ("frame", "chunk"):
+            slam = SlamSystem(
+                cam, cfg.family, cfg.tag_size_inner, estimator="ba",
+                ba_schedule=sched,
+            )
+            outs = slam.process(frames)
+            anchor = slam.coordinate_id
+            t_idx = int(np.where(cfg.tag_ids() == anchor)[0][0])
+            gt = np.asarray(
+                camera_in_tag_frames(
+                    jnp.asarray(cfg.tag_positions()), jnp.asarray(cfg.tag_rotations()),
+                    pos, rot,
+                )
+            )[:, t_idx]
+            est = np.asarray(outs.poses)
+            valid = np.asarray(outs.valid)
+            assert valid.sum() >= 10, (sched, valid)
+            errs = np.linalg.norm(est[valid, :3, 3] - gt[valid, :3, 3], axis=-1)
+            rmses[sched] = float(np.sqrt(np.mean(errs**2)))
+        # Same regime: chunk-scheduled BA may be slightly looser within a
+        # chunk (the map refines between chunks) but must stay well under
+        # the reference bar and near the per-frame schedule.
+        assert rmses["chunk"] < 0.6, rmses
+        assert rmses["chunk"] < 2.0 * rmses["frame"] + 0.1, rmses
+
+    def test_chunk_schedule_rejects_pgo(self):
+        from aprilslam_tpu.slam import build_slam_step
+
+        cfg = SceneConfig.from_file()
+        cam = PinholeCamera.from_fov(256, 256, cfg.fov_y)
+        with pytest.raises(ValueError):
+            build_slam_step(
+                cfg.family, cam, cfg.tag_size_inner, estimator="ba",
+                pgo=True, ba_schedule="chunk",
+            )
