@@ -104,15 +104,25 @@ def _emit_boundaries(trinary: jax.Array, labels: jax.Array, gray: jax.Array, lev
 def _compact(ka, kb, x, y, w, max_boundary: int):
     """Compact sparse boundary entries to a fixed-size prefix.
 
-    Boundary pixels are a few percent of the frame; compacting with
-    nonzero(size=...) (one cumsum + gather) before sorting shrinks the
-    expensive multi-operand sort by ~16x, which is what keeps the TPU
-    compile and runtime tractable at 1000x1000.
+    Boundary pixels are a few percent of the frame; compacting before
+    sorting shrinks the expensive multi-operand sort by ~16x, which is what
+    keeps the TPU compile and runtime tractable at 1000x1000.
+
+    The selection is searchsorted-over-cumsum, NOT nonzero(size=...):
+    nonzero lowers to a scatter, which serializes on TPU and alone cost
+    ~6 ms/frame — half the whole detection step (probe 2026-08-21,
+    tools/probe_quads_tpu.py). Binary-searching the running count of valid
+    entries for each output slot computes the same index list with log2(N)
+    vectorized gathers and no scatter at all.
     """
     valid = ka < _BIG
-    count = jnp.sum(valid.astype(jnp.int32))
-    (idx,) = jnp.nonzero(valid, size=max_boundary, fill_value=0)
-    live = jnp.arange(max_boundary) < count
+    c = jnp.cumsum(valid.astype(jnp.int32))
+    count = c[-1]
+    slot = jnp.arange(max_boundary, dtype=jnp.int32)
+    # idx[j] = position of the (j+1)-th valid entry (c is nondecreasing).
+    idx = jnp.searchsorted(c, slot + 1)
+    idx = jnp.minimum(idx, ka.shape[0] - 1)
+    live = slot < count
     ka_c = jnp.where(live, jnp.take(ka, idx), _BIG)
     kb_c = jnp.where(live, jnp.take(kb, idx), _BIG)
     x_c = jnp.take(x, idx)
