@@ -1,0 +1,156 @@
+"""Offline long-trajectory refinement: keyframe-axis sharded global BA.
+
+The online pipeline (apps/run_simulation.py) is a fixed-lag system — its BA
+window forgets keyframes beyond the ring (slam/ba.py). This app is the
+batch counterpart the reference never had (its backend is one-shot chaining,
+/root/reference/src/core/slam_graph.py:29-76 + averaging slam.py:36-63):
+load a dead-reckoned trajectory with its tag observations and odometry,
+partition the keyframes into contiguous windows over every available device
+(`jax.sharding` kf-axis mesh, parallel/keyframe_ba.py), and solve ONE global
+bundle adjustment over the full trajectory — 10k+ keyframes.
+
+Problem files are .npz archives with the KeyframeBAProblem arrays
+(save_problem/load_problem below). `--demo` synthesizes a drifted serpentine
+sweep so the app is runnable without captured data.
+
+Usage:
+  aprilslam-refine --demo --keyframes 2048 --output refined.npz
+  aprilslam-refine --input problem.npz --devices 8 --output refined.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def save_problem(path: str, prob, Kmat) -> None:
+    import numpy as np
+
+    np.savez_compressed(
+        path,
+        kf_pose=np.asarray(prob.kf_pose),
+        kf_active=np.asarray(prob.kf_active),
+        lm_pose=np.asarray(prob.lm_pose),
+        lm_active=np.asarray(prob.lm_active),
+        obs_kf=np.asarray(prob.obs_kf),
+        obs_lm=np.asarray(prob.obs_lm),
+        obs_uv=np.asarray(prob.obs_uv),
+        obs_ok=np.asarray(prob.obs_ok),
+        odom_T=np.asarray(prob.odom_T),
+        odom_ok=np.asarray(prob.odom_ok),
+        odom_weight=np.asarray(prob.odom_weight),
+        K=np.asarray(Kmat),
+    )
+
+
+def load_problem(path: str):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..parallel import KeyframeBAProblem
+
+    z = np.load(path)
+    prob = KeyframeBAProblem(
+        **{
+            f: jnp.asarray(z[f])
+            for f in (
+                "kf_pose", "kf_active", "lm_pose", "lm_active",
+                "obs_kf", "obs_lm", "obs_uv", "obs_ok",
+                "odom_T", "odom_ok", "odom_weight",
+            )
+        }
+    )
+    return prob, jnp.asarray(z["K"])
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="aprilslam-refine",
+        description="Global keyframe-axis sharded BA over one long trajectory",
+    )
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="problem .npz (see save_problem)")
+    src.add_argument("--demo", action="store_true",
+                     help="synthesize a drifted demo trajectory")
+    ap.add_argument("--keyframes", type=int, default=2048, help="demo size")
+    ap.add_argument("--landmarks", type=int, default=128, help="demo size")
+    ap.add_argument("--devices", type=int, default=0,
+                    help="kf-axis mesh size (0 = all available)")
+    ap.add_argument("--iters", type=int, default=24, help="LM iterations")
+    ap.add_argument("--cg-iters", type=int, default=128,
+                    help="PCG depth per LM step (long trajectories need "
+                         "~128 to traverse low-frequency drift modes)")
+    ap.add_argument("--damping", type=float, default=1e-4)
+    ap.add_argument("--tag-size", type=float, default=10.0)
+    ap.add_argument("--output", "-o", default=None, help="refined .npz")
+    ap.add_argument("--device", default="auto", choices=("auto", "cpu", "tpu"))
+    args = ap.parse_args(argv)
+
+    from ..utils import configure_runtime
+
+    configure_runtime(args.device)
+
+    import jax
+    import numpy as np
+
+    from ..parallel import (
+        build_keyframe_ba, keyframe_ba_cost, make_mesh,
+        synthesize_trajectory_problem,
+    )
+
+    kf_gt = None
+    if args.demo:
+        n_dev = args.devices or len(jax.devices())
+        prob, kf_gt, Kmat = synthesize_trajectory_problem(
+            n_keyframes=args.keyframes, n_landmarks=args.landmarks,
+            n_shards=n_dev, obs_per_kf=6, seed=7,
+        )
+    else:
+        prob, Kmat = load_problem(args.input)
+        n_dev = args.devices or len(jax.devices())
+
+    K = prob.n_keyframes
+    if K % n_dev:
+        # shrink to the largest divisor of K not exceeding the device count
+        n_dev = next(d for d in range(n_dev, 0, -1) if K % d == 0)
+    print(f"{K} keyframes, {prob.n_landmarks} landmarks, "
+          f"{int(np.asarray(prob.obs_ok).sum())} observations; "
+          f"kf-axis mesh over {n_dev} device(s)", file=sys.stderr)
+
+    c0 = float(keyframe_ba_cost(prob, Kmat, args.tag_size))
+    run = build_keyframe_ba(
+        make_mesh(n_dev, axis="kf"), K, prob.n_landmarks,
+        int(prob.obs_kf.shape[0]), args.tag_size,
+        iters=args.iters, cg_iters=args.cg_iters, damping=args.damping,
+    )
+    t0 = time.perf_counter()
+    refined, _ = run(prob, Kmat)
+    jax.block_until_ready(refined.kf_pose)
+    dt = time.perf_counter() - t0
+    c1 = float(keyframe_ba_cost(refined, Kmat, args.tag_size))
+
+    out = {
+        "keyframes": K,
+        "landmarks": prob.n_landmarks,
+        "devices": n_dev,
+        "cost_initial": round(c0, 1),
+        "cost_refined": round(c1, 1),
+        "solve_s": round(dt, 2),
+        "finite": bool(np.isfinite(np.asarray(refined.kf_pose)).all()),
+    }
+    if kf_gt is not None:
+        for name, p in (("ate_initial", prob), ("ate_refined", refined)):
+            e = np.asarray(p.kf_pose)[:, :3, 3] - kf_gt[:, :3, 3]
+            out[name] = round(float(np.sqrt(np.mean(np.sum(e * e, -1)))), 4)
+    if args.output:
+        save_problem(args.output, refined, Kmat)
+        out["output"] = args.output
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -143,3 +143,30 @@ class TestVerifyCli:
         out = capsys.readouterr().out
         assert rc == 0, out
         assert "functional render+detect smoke test" in out
+
+
+class TestRefineCli:
+    def test_demo_refine_and_roundtrip(self, tmp_path, capsys):
+        from aprilslam_tpu.apps.refine_trajectory import main as refine_main
+
+        out = str(tmp_path / "refined.npz")
+        rc = refine_main([
+            "--demo", "--keyframes", "128", "--landmarks", "16",
+            "--iters", "8", "--cg-iters", "32", "--device", "cpu",
+            "--output", out,
+        ])
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["finite"]
+        assert rep["cost_refined"] < 0.05 * rep["cost_initial"]
+        assert rep["ate_refined"] < rep["ate_initial"]
+        assert os.path.exists(out)
+
+        # Round-trip: reloading the refined problem starts near-converged.
+        rc = refine_main([
+            "--input", out, "--iters", "1", "--cg-iters", "4",
+            "--device", "cpu",
+        ])
+        assert rc == 0
+        rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep2["cost_initial"] <= 1.05 * rep["cost_refined"]
