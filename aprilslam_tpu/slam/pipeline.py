@@ -332,6 +332,35 @@ def build_slam_step(
                 ba, K, tag_size, iters=min(B * ba_iters_per_frame, 16)
             )
             state = (graph, ba)
+
+            # Batched re-localization: every frame of the chunk is refined
+            # against the FINAL map in ONE vmapped GN pass (parallel over
+            # frames — MXU work, not scan latency). This recovers — and
+            # typically beats — the per-frame schedule's accuracy, whose
+            # early frames only ever saw an early map.
+            Ml = ba.n_landmarks
+            eye4 = jnp.eye(4, dtype=ba.lm_pose.dtype)
+
+            def reloc(ids_b, ok_b, corners_b, pose_b, coord_b, valid_b):
+                corn_m, seen = scatter_frame(ids_b, ok_b, corners_b, Ml)
+                use = seen & ba.lm_active
+                c_slot = jnp.clip(coord_b, 0, Ml - 1)
+                frame_ok = (coord_b >= 0) & (coord_b < Ml) & ba.lm_active[c_slot]
+                T_wa = jnp.where(frame_ok, ba.lm_pose[c_slot], eye4)
+                pose_w0 = T_wa @ pose_b  # anchor-relative -> BA world
+                T_w, _rms = joint_camera_pose(
+                    ba.lm_pose, use, corn_m, K, tag_size, pose_w0,
+                    iters=joint_iters,
+                )
+                refined = _se3_inverse(T_wa) @ T_w
+                keep = valid_b & frame_ok & jnp.any(use)
+                return jnp.where(keep, refined, pose_b)
+
+            poses_r = jax.vmap(reloc)(
+                det.ids, ok_all, det.corners, outs.poses, outs.coord_id,
+                outs.valid,
+            )
+            outs = _replace(outs, poses=poses_r)
         return state, outs
 
     def init():
