@@ -66,6 +66,76 @@ def load_problem(path: str):
     return prob, jnp.asarray(z["K"])
 
 
+def problem_from_run(
+    poses, valid, coord, det_ids, det_corners, det_ok,
+    lm_world, lm_present, odom_weight: float = 1.0,
+):
+    """Build a KeyframeBAProblem from an online run's outputs.
+
+    ``poses`` are the per-frame estimates in each frame's coordinate-tag
+    frame; only frames whose coordinate tag equals the FINAL anchor (and
+    that are valid) become active keyframes — mixed-frame poses would
+    corrupt the problem. Leading invalid frames are trimmed so global
+    keyframe 0 (the solver's gauge pin) is always an active frame.
+    Odometry edges are self-consistency factors between consecutive active
+    frames (weight ``odom_weight``; they smooth, the corner observations
+    carry the metric information). Landmarks come from the final online
+    map (graph tag->world transforms).
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..parallel import KeyframeBAProblem
+
+    poses = np.asarray(poses)
+    valid = np.asarray(valid).astype(bool)
+    coord = np.asarray(coord)
+    final_anchor = coord[valid][-1] if valid.any() else -1
+    active = valid & (coord == final_anchor)
+    first = int(np.argmax(active)) if active.any() else 0
+    sl = slice(first, len(poses))
+
+    poses = poses[sl]
+    active = active[sl]
+    ids = np.asarray(det_ids)[sl]
+    corners = np.asarray(det_corners)[sl]
+    ok = np.asarray(det_ok)[sl]
+    K = len(poses)
+    M = int(np.asarray(lm_world).shape[0])
+
+    # Observations: every ok detection of an active frame.
+    frame_idx = np.repeat(np.arange(K), ids.shape[1])
+    obs_kf = frame_idx.astype(np.int32)
+    obs_lm = ids.reshape(-1).astype(np.int32)
+    obs_uv = corners.reshape(-1, 4, 2).astype(np.float32)
+    obs_ok = (ok.reshape(-1) & (obs_lm >= 0) & (obs_lm < M)
+              & active[frame_idx]
+              & np.asarray(lm_present)[np.clip(obs_lm, 0, M - 1)])
+    obs_lm = np.clip(obs_lm, 0, M - 1)
+
+    # Odometry between consecutive ACTIVE frames only.
+    odom_T = np.broadcast_to(np.eye(4, dtype=np.float32), (K, 4, 4)).copy()
+    odom_ok = np.zeros(K, bool)
+    for k in range(K - 1):
+        if active[k] and active[k + 1]:
+            odom_T[k] = np.linalg.inv(poses[k]) @ poses[k + 1]
+            odom_ok[k] = True
+
+    return KeyframeBAProblem(
+        kf_pose=jnp.asarray(poses.astype(np.float32)),
+        kf_active=jnp.asarray(active),
+        lm_pose=jnp.asarray(np.asarray(lm_world).astype(np.float32)),
+        lm_active=jnp.asarray(np.asarray(lm_present).astype(bool)),
+        obs_kf=jnp.asarray(obs_kf),
+        obs_lm=jnp.asarray(obs_lm),
+        obs_uv=jnp.asarray(obs_uv),
+        obs_ok=jnp.asarray(obs_ok),
+        odom_T=jnp.asarray(odom_T),
+        odom_ok=jnp.asarray(odom_ok),
+        odom_weight=jnp.full((K,), odom_weight, jnp.float32),
+    )
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="aprilslam-refine",

@@ -44,6 +44,9 @@ def parse_arguments(argv=None):
     p.add_argument("--output-dir", default="data/csv", help="CSV output directory")
     p.add_argument("--save-viz", default=None,
                    help="directory to save visualizer snapshots (map/graph/error)")
+    p.add_argument("--export-problem", default=None, metavar="NPZ",
+                   help="export the run (poses, detections, odometry, map) as a "
+                        "global-BA problem for aprilslam-refine")
     p.add_argument("--headless", action="store_true", help="no dashboard printing")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--checkpoint-dir", default=None,
@@ -159,6 +162,7 @@ def main(argv=None) -> int:
         viz = SlamVisualizer(interactive=False)
 
     K_inv = jnp.asarray(cam.inv_matrix)
+    export = ([], [], [], [], [], []) if args.export_problem else None
     tag_pos = jnp.asarray(cfg.tag_positions())
     tag_rot = jnp.asarray(cfg.tag_rotations())
     ids = cfg.tag_ids()
@@ -265,6 +269,12 @@ def main(argv=None) -> int:
                         gt_world_dist, float(np.linalg.norm(gt_local[:3, 3]))
                     )
             valid_all.append(valid)
+            if export is not None:
+                for buf, arr in zip(export, (
+                    est, valid, coord, np.asarray(outs.det_ids),
+                    np.asarray(outs.det_corners), np.asarray(outs.det_ok),
+                )):
+                    buf.append(arr)
             if ckpt is not None and ((s + args.batch) % max(args.checkpoint_every, args.batch) == 0
                                      or s + args.batch >= n):
                 ckpt.save(s + args.batch, slam.state)
@@ -329,6 +339,32 @@ def main(argv=None) -> int:
         }
         if args.pgo and slam.pgo_state is not None:
             summary["loop_closures"] = int(slam.pgo_state.n_loops)
+        if export is not None:
+            from .refine_trajectory import problem_from_run, save_problem
+
+            poses_e, valid_e, coord_e, ids_e, corners_e, ok_e = (
+                np.concatenate(b) for b in export
+            )
+            gstate = slam.graph_state
+            lm_world, lm_present = np.asarray(gstate.world), np.asarray(gstate.present)
+            ba = slam.ba_state
+            if ba is not None and valid_e.any():
+                # Prefer the refined BA landmarks, conjugated into the
+                # anchor (coordinate-tag) frame the exported poses live in.
+                anchor = int(coord_e[valid_e][-1])
+                lm_pose = np.asarray(ba.lm_pose)
+                lm_act = np.asarray(ba.lm_active)
+                if 0 <= anchor < len(lm_pose) and lm_act[anchor]:
+                    T_wa_inv = np.linalg.inv(lm_pose[anchor])
+                    lm_world = np.einsum("ij,mjk->mik", T_wa_inv, lm_pose)
+                    lm_present = lm_act
+            prob = problem_from_run(
+                poses_e, valid_e, coord_e, ids_e, corners_e, ok_e,
+                lm_world, lm_present,
+            )
+            save_problem(args.export_problem, prob, np.asarray(cam.matrix))
+            summary["exported_problem"] = args.export_problem
+            summary["exported_keyframes"] = prob.n_keyframes
         print(json.dumps(summary))
     else:
         log.warning("No valid pose estimates produced.")

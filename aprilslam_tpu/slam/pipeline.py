@@ -35,6 +35,7 @@ Estimator = Literal["reference_chain", "chain_avg", "joint", "ba"]
         "poses", "valid", "reproj_rms", "n_visible", "n_nodes", "avg_node_distance",
         "coord_id", "loop_closures",
         "node_visible", "node_weight", "node_local", "node_world",
+        "det_ids", "det_corners", "det_ok",
     ],
     meta_fields=[],
 )
@@ -58,6 +59,11 @@ class SlamOutputs:
     node_weight: jax.Array  # (B, M) chain depth
     node_local: jax.Array  # (B, M, 4, 4) tag->camera at last observation
     node_world: jax.Array  # (B, M, 4, 4) tag->world
+    # Raw detections echoed per frame so consumers (CSV logging, offline
+    # problem export for aprilslam-refine) need not re-run the detector.
+    det_ids: jax.Array  # (B, D) int32, -1 padding
+    det_corners: jax.Array  # (B, D, 4, 2) full-res pixels
+    det_ok: jax.Array  # (B, D) bool PnP-ok
 
 
 def build_slam_step(
@@ -313,6 +319,9 @@ def build_slam_step(
                 node_weight=graph.weight,
                 node_local=graph.local,
                 node_world=graph.world,
+                det_ids=ids,
+                det_corners=corners,
+                det_ok=ok,
             )
             if use_pgo:
                 return (graph, ba, pgo_s), out

@@ -170,3 +170,29 @@ class TestRefineCli:
         assert rc == 0
         rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rep2["cost_initial"] <= 1.05 * rep["cost_refined"]
+
+    def test_export_problem_then_refine(self, tmp_path, capsys):
+        """Online run -> exported global-BA problem -> offline refine:
+        the full online-to-offline workflow."""
+        from aprilslam_tpu.apps.refine_trajectory import main as refine_main
+
+        prob_path = str(tmp_path / "run.npz")
+        rc = sim_main([
+            "--frames", "12", "--batch", "4", "--resolution", "256",
+            "--estimator", "ba", "--headless", "--decimate", "1",
+            "--trajectory", "line", "--output-dir", str(tmp_path / "csv"),
+            "--export-problem", prob_path,
+        ])
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["exported_keyframes"] >= 10
+        assert os.path.exists(prob_path)
+
+        rc = refine_main([
+            "--input", prob_path, "--iters", "6", "--cg-iters", "24",
+            "--device", "cpu",
+        ])
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["finite"]
+        assert rep["cost_refined"] <= rep["cost_initial"]
