@@ -318,6 +318,10 @@ def build_keyframe_ba(
         dtype = kf_pose.dtype
         me = jax.lax.axis_index(axis)
         obs_k = jnp.clip(obs_kf - me * Kl, 0, Kl - 1)
+        # The global last keyframe has no outgoing factor. Masked HERE (not
+        # in the host wrapper): an eager op on the global array would fail
+        # under multi-process meshes where shards are non-addressable.
+        odom_ok = odom_ok & (me * Kl + jnp.arange(Kl) < K - 1)
         obj = tag_object_corners(tag_size, dtype=dtype)
         z6 = jnp.zeros(6, dtype)
         w_obs = obs_ok.astype(dtype)
@@ -534,22 +538,20 @@ def build_keyframe_ba(
     jfn = jax.jit(fn)
 
     def run(prob: KeyframeBAProblem, Kmat):
-        odom_ok = prob.odom_ok & (jnp.arange(K) < K - 1)
         kf, lm, cost = jfn(
             prob.kf_pose, prob.kf_active,
             prob.lm_pose, prob.lm_active,
             prob.obs_kf, prob.obs_lm, prob.obs_uv, prob.obs_ok,
-            prob.odom_T, odom_ok, prob.odom_weight,
+            prob.odom_T, prob.odom_ok, prob.odom_weight,
             Kmat,
         )
         return replace(prob, kf_pose=kf, lm_pose=lm), cost
 
     def lower_args(prob: KeyframeBAProblem, Kmat):
-        odom_ok = prob.odom_ok & (jnp.arange(K) < K - 1)
         return (
             prob.kf_pose, prob.kf_active, prob.lm_pose, prob.lm_active,
             prob.obs_kf, prob.obs_lm, prob.obs_uv, prob.obs_ok,
-            prob.odom_T, odom_ok, prob.odom_weight, Kmat,
+            prob.odom_T, prob.odom_ok, prob.odom_weight, Kmat,
         )
 
     run.jitted = jfn

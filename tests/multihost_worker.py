@@ -159,11 +159,54 @@ def main() -> int:
     for s in range(S):
         assert 0 <= gathered[s] < 0.5 * c0[s], (s, c0[s], gathered[s])
 
+    # --- keyframe-axis leg: ONE trajectory spanning both hosts -----------
+    # The kf mesh covers every global device, so the seam ppermutes between
+    # device blocks owned by DIFFERENT processes ride the DCN path.
+    import dataclasses
+
+    from jax.sharding import Mesh, PartitionSpec
+    from aprilslam_tpu.parallel import (
+        build_keyframe_ba, keyframe_ba_cost, synthesize_trajectory_problem,
+    )
+
+    prob, kf_gt, Kmat_kf = synthesize_trajectory_problem(
+        n_keyframes=16 * n_global, n_landmarks=16, n_shards=n_global,
+        obs_per_kf=3, seed=5,
+    )
+    ckf0 = float(keyframe_ba_cost(prob, Kmat_kf, tag_size))
+    mesh_kf = Mesh(np.asarray(jax.devices()), ("kf",))
+    kf_fields = {
+        "kf_pose", "kf_active", "obs_kf", "obs_lm", "obs_uv", "obs_ok",
+        "odom_T", "odom_ok", "odom_weight",
+    }
+    gl = {}
+    for f in dataclasses.fields(prob):
+        v = np.asarray(getattr(prob, f.name))
+        spec = PartitionSpec("kf") if f.name in kf_fields else PartitionSpec()
+        gl[f.name] = make_global(mesh_kf, spec, v)
+    prob_g = dataclasses.replace(prob, **gl)
+    run_kf = build_keyframe_ba(
+        mesh_kf, prob.n_keyframes, prob.n_landmarks,
+        int(np.asarray(prob.obs_kf.shape)[0]), tag_size, iters=4, cg_iters=16,
+    )
+    out_kf, cost_kf = run_kf(
+        prob_g, make_global(mesh_kf, PartitionSpec(), np.asarray(Kmat_kf))
+    )
+    ckf1 = float(np.asarray(cost_kf.addressable_shards[0].data))
+    assert np.isfinite(ckf1), ckf1
+    assert ckf1 < 0.2 * ckf0, (ckf0, ckf1)
+    for shard in out_kf.kf_pose.addressable_shards:
+        assert np.isfinite(np.asarray(shard.data)).all()
+    gathered_kf = all_processes_cost(ckf1)
+    # The final cost is replicated over the mesh: every process must agree.
+    assert np.allclose(gathered_kf, ckf1, rtol=1e-4), (gathered_kf, ckf1)
+
     print(
         f"MULTIHOST OK proc={me}/{args.num_processes} "
         f"devices={n_global} mesh=data{S}xlm{n_local} "
         f"cost {c0[me]:.2f} -> {local_cost:.2f} "
-        f"gathered={np.round(gathered, 2).tolist()}",
+        f"gathered={np.round(gathered, 2).tolist()} "
+        f"kf-axis {prob.n_keyframes}kf cost {ckf0:.1f} -> {ckf1:.1f}",
         flush=True,
     )
     return 0
