@@ -79,6 +79,7 @@ def build_slam_step(
     ba_obs: int = 512,
     ba_iters_per_frame: int = 3,
     ba_schedule: Literal["frame", "chunk"] = "frame",
+    ba_chunk_iters: int | None = None,
     init_joint_iters: int | None = None,
     dist_coeffs: jax.Array | None = None,
     pgo: bool = False,
@@ -338,7 +339,8 @@ def build_slam_step(
             B = frames.shape[0]
             graph, ba = state
             ba = ba_optimize(
-                ba, K, tag_size, iters=min(B * ba_iters_per_frame, 16)
+                ba, K, tag_size,
+                iters=ba_chunk_iters or min(B * ba_iters_per_frame, 16),
             )
             state = (graph, ba)
 
