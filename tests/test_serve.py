@@ -1,0 +1,91 @@
+"""SLAM service: compile-once server answering frame chunks over TCP.
+
+The serving path the BASELINE's production mandate implies; verified
+against the in-process pipeline on the same frames.
+"""
+
+import socket
+import threading
+
+import numpy as np
+import pytest
+
+from aprilslam_tpu.apps.serve import make_server, SlamClient
+from aprilslam_tpu.geometry import PinholeCamera
+from aprilslam_tpu.detect import DetectorParams
+from aprilslam_tpu.sim import SceneConfig, scene_tensors, render_frames, trajectory
+from aprilslam_tpu.slam import SlamSystem
+
+import jax.numpy as jnp
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def service():
+    cfg = SceneConfig.from_file()
+    res, batch = 256, 4
+    cam = PinholeCamera.from_fov(res, res, cfg.fov_y)
+    dp = DetectorParams(quad_decimate=1, min_cluster_pts=12)
+    port = _free_port()
+    srv = make_server("127.0.0.1", port, cam, cfg.family, cfg.tag_size_inner,
+                      batch, res, 1, estimator="ba", detector_params=dp)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield cfg, cam, dp, port, res, batch
+    srv.shutdown()
+    srv.server_close()
+
+
+class TestServe:
+    def test_ping_process_stats_reset(self, service):
+        cfg, cam, dp, port, res, batch = service
+        scene = scene_tensors(cfg)
+        traj = trajectory.scripted_line(batch, np.array([0.0, 0.0, 20.0]),
+                                        np.array([6.0, 2.0, -5.0]))
+        frames = np.asarray(
+            render_frames(scene, jnp.asarray(traj.positions),
+                          jnp.asarray(traj.rotations),
+                          jnp.asarray(cam.inv_matrix), res, res, 2)
+        )
+        frames_u8 = np.clip(frames * 255.0, 0, 255).astype(np.uint8)
+
+        cli = SlamClient(port=port)
+        assert cli.ping()["ok"]
+
+        rep = cli.process(frames_u8)
+        assert rep["ok"], rep
+        assert np.asarray(rep["valid"]).sum() >= batch - 1
+        poses = np.asarray(rep["poses"])
+        assert poses.shape == (batch, 4, 4)
+        assert np.isfinite(poses).all()
+
+        # Parity with the in-process pipeline on identical frames/state.
+        ref = SlamSystem(cam, cfg.family, cfg.tag_size_inner, estimator="ba",
+                         detector_params=dp, ba_schedule="chunk")
+        ref_out = ref.process(frames_u8)
+        ref_poses = np.asarray(ref_out.poses)
+        v = np.asarray(rep["valid"]) & np.asarray(ref_out.valid)
+        d = np.linalg.norm(poses[v, :3, 3] - ref_poses[v, :3, 3], axis=-1)
+        assert d.max() < 1e-3, d
+
+        st = cli.stats()
+        assert st["requests"] == 1 and st["frames"] == batch
+
+        assert cli.reset()["ok"]
+        rep2 = cli.process(frames_u8)
+        assert rep2["ok"]
+        # after reset the map rebuilds from scratch -> same pose estimates
+        d2 = np.linalg.norm(
+            np.asarray(rep2["poses"])[v, :3, 3] - poses[v, :3, 3], axis=-1)
+        assert d2.max() < 1e-3, d2
+
+        bad = cli._call({"cmd": "process", "shape": [1, 2, 3]}, b"\0" * 6)
+        assert not bad["ok"] and "shape" in bad["error"]
+        cli.close()
