@@ -83,9 +83,15 @@ def _orchestrate() -> int:
         _log_host = lambda m: print(f"[bench orchestrator] {m}", file=sys.stderr, flush=True)
         _log_host(f"TPU probe ok; running TPU child (deadline {deadline_s:.0f}s)")
         rc, got = child("tpu-direct", deadline_s)
-        if rc == 0 and got:
+        if got:
+            # The headline JSON landed. Even if the child then died in the
+            # budget-gated extras (rc != 0), do NOT run the CPU fallback —
+            # a later CPU line would shadow the TPU number for a
+            # last-JSON-line parser.
+            if rc != 0:
+                _log_host(f"TPU child rc={rc} after emitting its headline; keeping it")
             return 0
-        _log_host(f"TPU child rc={rc}, json={got}; falling back to CPU child")
+        _log_host(f"TPU child rc={rc}, no JSON; falling back to CPU child")
         rc, got = child("cpu", max(240.0, deadline_s), fallback="tpu_died_mid_run")
         return 0 if got else rc
     print("[bench orchestrator] TPU unresponsive; CPU child",
