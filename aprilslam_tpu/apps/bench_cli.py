@@ -19,9 +19,16 @@ def main(argv=None) -> int:
     os.environ["BENCH_BATCH"] = str(args.batch)
     os.environ["BENCH_RES"] = str(args.resolution)
     os.environ["BENCH_CHUNKS"] = str(args.chunks)
-    from ..utils import configure_runtime
-
-    configure_runtime("cpu" if args.cpu else args.device)
+    # Device selection is bench.py's job (BENCH_DEVICE drives its
+    # orchestrator/child modes); configuring the platform here would be
+    # ignored — bench.py's module-level code would still see "auto" and
+    # re-resolve in a child process. "tpu" maps to the tunnel-default child
+    # mode, the one that actually works on this host.
+    device = "cpu" if args.cpu else args.device
+    if device == "cpu":
+        os.environ["BENCH_DEVICE"] = "cpu"
+    elif device == "tpu":
+        os.environ["BENCH_DEVICE"] = "tpu-direct"
     sys.path.insert(0, os.getcwd())
     import importlib.util
 

@@ -26,11 +26,12 @@ import sys
 import time
 
 
-def save_problem(path: str, prob, Kmat) -> None:
+def save_problem(path: str, prob, Kmat, tag_size: float = 10.0) -> None:
     import numpy as np
 
     np.savez_compressed(
         path,
+        tag_size=np.float32(tag_size),
         kf_pose=np.asarray(prob.kf_pose),
         kf_active=np.asarray(prob.kf_active),
         lm_pose=np.asarray(prob.lm_pose),
@@ -63,7 +64,8 @@ def load_problem(path: str):
             )
         }
     )
-    return prob, jnp.asarray(z["K"])
+    tag_size = float(z["tag_size"]) if "tag_size" in z else 10.0
+    return prob, jnp.asarray(z["K"]), tag_size
 
 
 def problem_from_run(
@@ -154,7 +156,9 @@ def main(argv=None) -> int:
                     help="PCG depth per LM step (long trajectories need "
                          "~128 to traverse low-frequency drift modes)")
     ap.add_argument("--damping", type=float, default=1e-4)
-    ap.add_argument("--tag-size", type=float, default=10.0)
+    ap.add_argument("--tag-size", type=float, default=None,
+                    help="tag side length in scene units (default: the "
+                         "value stored in the problem file, or 10.0)")
     ap.add_argument("--output", "-o", default=None, help="refined .npz")
     ap.add_argument("--device", default="auto", choices=("auto", "cpu", "tpu"))
     args = ap.parse_args(argv)
@@ -174,33 +178,54 @@ def main(argv=None) -> int:
     kf_gt = None
     if args.demo:
         n_dev = args.devices or len(jax.devices())
+        if args.keyframes % n_dev:
+            n_dev = next(d for d in range(n_dev, 0, -1) if args.keyframes % d == 0)
         prob, kf_gt, Kmat = synthesize_trajectory_problem(
             n_keyframes=args.keyframes, n_landmarks=args.landmarks,
             n_shards=n_dev, obs_per_kf=6, seed=7,
         )
+        K = prob.n_keyframes
+        tag_size = args.tag_size if args.tag_size is not None else 10.0
     else:
-        prob, Kmat = load_problem(args.input)
+        prob, Kmat, saved_tag_size = load_problem(args.input)
+        tag_size = args.tag_size if args.tag_size is not None else saved_tag_size
         n_dev = args.devices or len(jax.devices())
+        K = prob.n_keyframes
+        if K % n_dev:
+            # largest divisor of K not exceeding the device count
+            n_dev = next(d for d in range(n_dev, 0, -1) if K % d == 0)
+        # The file may have been partitioned for a different shard count
+        # (or not at all): equal shard_map slices must align with keyframe
+        # ownership, so ALWAYS re-bucket for the mesh actually in use
+        # (padding rows carry obs_ok=False and re-bucket harmlessly).
+        import jax.numpy as jnp
+        from dataclasses import replace as _rep
 
-    K = prob.n_keyframes
-    if K % n_dev:
-        # shrink to the largest divisor of K not exceeding the device count
-        n_dev = next(d for d in range(n_dev, 0, -1) if K % d == 0)
+        from ..parallel import partition_obs_by_keyframe
+
+        p_kf, p_lm, p_uv, p_ok = partition_obs_by_keyframe(
+            np.asarray(prob.obs_kf), np.asarray(prob.obs_lm),
+            np.asarray(prob.obs_uv), np.asarray(prob.obs_ok), K, n_dev,
+        )
+        prob = _rep(
+            prob, obs_kf=jnp.asarray(p_kf), obs_lm=jnp.asarray(p_lm),
+            obs_uv=jnp.asarray(p_uv), obs_ok=jnp.asarray(p_ok),
+        )
     print(f"{K} keyframes, {prob.n_landmarks} landmarks, "
           f"{int(np.asarray(prob.obs_ok).sum())} observations; "
           f"kf-axis mesh over {n_dev} device(s)", file=sys.stderr)
 
-    c0 = float(keyframe_ba_cost(prob, Kmat, args.tag_size))
+    c0 = float(keyframe_ba_cost(prob, Kmat, tag_size))
     run = build_keyframe_ba(
         make_mesh(n_dev, axis="kf"), K, prob.n_landmarks,
-        int(prob.obs_kf.shape[0]), args.tag_size,
+        int(prob.obs_kf.shape[0]), tag_size,
         iters=args.iters, cg_iters=args.cg_iters, damping=args.damping,
     )
     t0 = time.perf_counter()
     refined, _ = run(prob, Kmat)
     jax.block_until_ready(refined.kf_pose)
     dt = time.perf_counter() - t0
-    c1 = float(keyframe_ba_cost(refined, Kmat, args.tag_size))
+    c1 = float(keyframe_ba_cost(refined, Kmat, tag_size))
 
     out = {
         "keyframes": K,
@@ -216,7 +241,7 @@ def main(argv=None) -> int:
             e = np.asarray(p.kf_pose)[:, :3, 3] - kf_gt[:, :3, 3]
             out[name] = round(float(np.sqrt(np.mean(np.sum(e * e, -1)))), 4)
     if args.output:
-        save_problem(args.output, refined, Kmat)
+        save_problem(args.output, refined, Kmat, tag_size)
         out["output"] = args.output
     print(json.dumps(out))
     return 0

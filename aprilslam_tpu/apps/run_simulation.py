@@ -362,7 +362,8 @@ def main(argv=None) -> int:
                 poses_e, valid_e, coord_e, ids_e, corners_e, ok_e,
                 lm_world, lm_present,
             )
-            save_problem(args.export_problem, prob, np.asarray(cam.matrix))
+            save_problem(args.export_problem, prob, np.asarray(cam.matrix),
+                         tag_size=cfg.tag_size_inner)
             summary["exported_problem"] = args.export_problem
             summary["exported_keyframes"] = prob.n_keyframes
         print(json.dumps(summary))

@@ -147,7 +147,11 @@ def tags_unoccluded(
     den = jnp.einsum("si,btpi->btps", n, d)  # (B, T, 5, S)
     tau = num[:, None, None, :] / jnp.where(jnp.abs(den) < 1e-9, 1e-9, den)
     hit = C[:, None, None, None, :] + tau[..., None] * d[:, :, :, None, :]  # (B,T,5,S,3)
-    q = jnp.einsum("sji,btpsj->btpsi", jnp.swapaxes(R_w_tag, -1, -2), hit - tag_pos[None, None, None, :, :])
+    # Local occluder coords need R^T (world->tag). The "sji" index order
+    # already transposes, so the operand must be R itself — feeding the
+    # pre-swapped R^T here double-transposed back to R and evaluated the
+    # inside-quad test in the wrong frame for rotated occluders.
+    q = jnp.einsum("sji,btpsj->btpsi", R_w_tag, hit - tag_pos[None, None, None, :, :])
     inside = (jnp.abs(q[..., 0]) <= outer_half) & (jnp.abs(q[..., 1]) <= outer_half)
     blocking = inside & (tau > eps) & (tau < 1.0 - eps) & (jnp.abs(den) >= 1e-9)
     # A tag never occludes itself.

@@ -338,10 +338,12 @@ def build_slam_step(
             # compute is traded for scan latency, not dropped.
             B = frames.shape[0]
             graph, ba = state
-            ba = ba_optimize(
-                ba, K, tag_size,
-                iters=ba_chunk_iters or min(B * ba_iters_per_frame, 16),
+            chunk_iters = (
+                ba_chunk_iters if ba_chunk_iters is not None
+                else min(B * ba_iters_per_frame, 16)
             )
+            if chunk_iters > 0:
+                ba = ba_optimize(ba, K, tag_size, iters=chunk_iters)
             state = (graph, ba)
 
             # Batched re-localization: every frame of the chunk is refined
@@ -411,6 +413,7 @@ class SlamSystem:
         pgo_edges: int = 192,
         pgo_loop_gap: int = 24,
         ba_schedule: Literal["frame", "chunk"] = "frame",
+        ba_chunk_iters: int | None = None,
         init_joint_iters: int | None = None,
     ):
         self._step, self._init = build_slam_step(
@@ -424,6 +427,7 @@ class SlamSystem:
             pgo_edges=pgo_edges,
             pgo_loop_gap=pgo_loop_gap,
             ba_schedule=ba_schedule,
+            ba_chunk_iters=ba_chunk_iters,
             init_joint_iters=init_joint_iters,
         )
         self._step = jax.jit(self._step)

@@ -61,22 +61,43 @@ def _orchestrate() -> int:
     deadline_s = float(os.environ.get("BENCH_TPU_DEADLINE_S", "300"))
 
     def child(device: str, timeout: float, fallback: str | None = None) -> tuple[int, bool]:
+        """Run a measurement child, STREAMING its stdout through as lines
+        arrive — if the OUTER driver kills this orchestrator mid-child, the
+        child's already-printed headline is on our stdout, preserving the
+        print-first contract end to end."""
+        import selectors
+
         env = dict(os.environ, BENCH_DEVICE=device)
         if fallback:
             env["BENCH_FALLBACK"] = fallback
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, stdout=subprocess.PIPE, text=True, bufsize=1,
+        )
+        got_json = False
+        deadline = time.monotonic() + timeout
+        sel = selectors.DefaultSelector()
+        sel.register(proc.stdout, selectors.EVENT_READ)
         try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, timeout=timeout, stdout=subprocess.PIPE, text=True,
-            )
-            out = r.stdout
-            rc = r.returncode
-        except subprocess.TimeoutExpired as e:
-            out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
-            rc = 124
-        got_json = any(ln.startswith("{") for ln in out.splitlines())
-        sys.stdout.write(out)
-        sys.stdout.flush()
+            while True:
+                budget = deadline - time.monotonic()
+                if budget <= 0:
+                    proc.kill()
+                    proc.wait()
+                    return 124, got_json
+                if sel.select(timeout=min(budget, 5.0)):
+                    line = proc.stdout.readline()
+                    if line == "":
+                        break  # EOF
+                    if line.startswith("{"):
+                        got_json = True
+                    sys.stdout.write(line)
+                    sys.stdout.flush()
+                elif proc.poll() is not None:
+                    break
+        finally:
+            sel.close()
+        rc = proc.wait()
         return rc, got_json
 
     if tpu_responsive(probe_s):
@@ -382,11 +403,17 @@ def main():
             _log(f"sweep batch {Bs}: compiling")
             # Different batch => different shapes => a fresh compile is
             # unavoidable; the persistent cache serves repeat invocations.
-            step_s = jax.jit(build_slam_step(
+            # Same estimator/schedule as the headline — a mismatched
+            # builder would hand init()'s state a different pytree
+            # structure and crash the extras.
+            step_s_fn, init_s = build_slam_step(
                 cfg.family, cam, cfg.tag_size_inner,
-                detector_params=params, estimator="ba",
-            )[0])
-            st = init()
+                detector_params=params,
+                estimator=os.environ.get("BENCH_ESTIMATOR", "ba"),
+                ba_schedule=os.environ.get("BENCH_BA_SCHEDULE", "frame"),
+            )
+            step_s = jax.jit(step_s_fn)
+            st = init_s()
             st, o = step_s(st, ch)
             jax.block_until_ready(o)
             n_pass = max(1, 128 // Bs)

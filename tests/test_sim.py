@@ -230,3 +230,52 @@ class TestRasterizer:
         mid1 = np.sum((img1 > 0.3) & (img1 < 0.7) & (np.abs(img1 - scene.background) > 0.05))
         mid2 = np.sum((img2 > 0.3) & (img2 < 0.7) & (np.abs(img2 - scene.background) > 0.05))
         assert mid2 > mid1
+
+
+class TestOcclusion:
+    def test_tags_unoccluded_matches_brute_force(self, rng):
+        """Analytic segment-vs-quad occlusion vs a per-ray numpy reference,
+        with ROTATED occluders (regression: a double-transpose evaluated the
+        inside-quad test in the wrong frame for rotated tags)."""
+        from aprilslam_tpu.sim.ground_truth import (
+            tags_unoccluded, tag_world_rotations,
+        )
+
+        T, B = 6, 4
+        tag_pos = rng.uniform(-20, 20, (T, 3)).astype(np.float32)
+        tag_pos[:, 2] = rng.uniform(-5, 5, T)
+        tag_rot = rng.uniform(-60, 60, (T, 3)).astype(np.float32)
+        cam_pos = rng.uniform(-10, 10, (B, 3)).astype(np.float32)
+        cam_pos[:, 2] += 40
+        inner, outer_half = 5.0, 4.5
+
+        got = np.asarray(tags_unoccluded(
+            jnp.asarray(tag_pos), jnp.asarray(tag_rot), jnp.asarray(cam_pos),
+            inner, outer_half,
+        ))
+
+        R = np.asarray(tag_world_rotations(jnp.asarray(tag_rot)))
+        half = inner / 2
+        local = np.array(
+            [[-half, -half, 0], [half, -half, 0], [half, half, 0],
+             [-half, half, 0], [0, 0, 0]], np.float32)
+        P = np.einsum("tij,pj->tpi", R, local) + tag_pos[:, None]
+        exp = np.ones((B, T), bool)
+        for b in range(B):
+            for t in range(T):
+                for p in range(5):
+                    C, d = cam_pos[b], P[t, p] - cam_pos[b]
+                    for s in range(T):
+                        if s == t:
+                            continue
+                        n = R[s][:, 2]
+                        den = n @ d
+                        if abs(den) < 1e-9:
+                            continue
+                        tau = (n @ (tag_pos[s] - C)) / den
+                        if not (1e-3 < tau < 1 - 1e-3):
+                            continue
+                        q = R[s].T @ (C + tau * d - tag_pos[s])
+                        if abs(q[0]) <= outer_half and abs(q[1]) <= outer_half:
+                            exp[b, t] = False
+        np.testing.assert_array_equal(got, exp)
