@@ -26,8 +26,34 @@ def load_camera_calibration(path: str):
     return K.astype(np.float32), dist.astype(np.float32)
 
 
+class _Y4MCapture:
+    """cv2.VideoCapture-compatible shim over the NATIVE Y4M reader
+    (runtime/video_io.cpp): C++ prefetch thread, no OpenCV in the file
+    path. Frames come out (H, W) uint8 grayscale — exactly what the
+    detector consumes."""
+
+    def __init__(self, path: str):
+        from ..runtime import Y4MReader
+
+        self._r = Y4MReader(path)
+
+    def read(self):
+        f = self._r.read()
+        return (f is not None), f
+
+    def release(self):
+        self._r.close()
+
+
 def initialize_camera(source, width=640, height=480, fps=30):
-    """Open capture with device-id fallback 1, 2 (video_detection.py:76-110)."""
+    """Open capture with device-id fallback 1, 2 (video_detection.py:76-110).
+
+    ``*.y4m`` files use the framework's native C++ reader; everything else
+    (camera devices, other containers) goes through cv2.VideoCapture —
+    hardware access is host I/O, not compute."""
+    if isinstance(source, str) and source.lower().endswith(".y4m"):
+        return _Y4MCapture(source), source
+
     import cv2
 
     candidates = [source] if isinstance(source, str) else [source, 1, 2]

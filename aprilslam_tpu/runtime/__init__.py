@@ -20,7 +20,7 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libaprilslam_runtime.so")
-_SRC = os.path.join(_DIR, "rasterizer.cpp")
+_SRCS = [os.path.join(_DIR, "rasterizer.cpp"), os.path.join(_DIR, "video_io.cpp")]
 _LOCK = threading.Lock()
 _LIB = None
 
@@ -28,7 +28,7 @@ _LIB = None
 def _build() -> None:
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        "-pthread", _SRC, "-o", _SO,
+        "-pthread", *_SRCS, "-o", _SO,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
 
@@ -38,7 +38,9 @@ def load_library() -> ctypes.CDLL:
     with _LOCK:
         if _LIB is not None:
             return _LIB
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < max(
+            os.path.getmtime(s) for s in _SRCS
+        ):
             _build()
         lib = ctypes.CDLL(_SO)
         f32p = ctypes.POINTER(ctypes.c_float)
@@ -63,8 +65,83 @@ def load_library() -> ctypes.CDLL:
         lib.asr_pipeline_destroy.argtypes = [ctypes.c_void_p]
         lib.asr_pipeline_destroy.restype = None
         lib.asr_version.restype = ctypes.c_int
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.vio_open.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_long),
+        ]
+        lib.vio_open.restype = ctypes.c_void_p
+        lib.vio_next.argtypes = [ctypes.c_void_p, u8p]
+        lib.vio_next.restype = ctypes.c_int
+        lib.vio_close.argtypes = [ctypes.c_void_p]
+        lib.vio_close.restype = None
         _LIB = lib
         return lib
+
+
+class Y4MReader:
+    """Native Y4M (YUV4MPEG2) file reader — luma plane only, prefetched by a
+    C++ worker thread (video_io.cpp). The framework's cv2-free replay path.
+
+    Usage::
+
+        with Y4MReader(path) as r:
+            frames = r.read_batch(8)   # (n<=8, H, W) uint8, n==0 at EOF
+    """
+
+    def __init__(self, path: str):
+        self._lib = load_library()
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        fn = ctypes.c_long()
+        fd = ctypes.c_long()
+        self._h = self._lib.vio_open(
+            os.fsencode(path), ctypes.byref(w), ctypes.byref(h),
+            ctypes.byref(fn), ctypes.byref(fd),
+        )
+        if not self._h:
+            raise OSError(f"cannot open Y4M stream: {path}")
+        self.width = w.value
+        self.height = h.value
+        self.fps = fn.value / max(fd.value, 1)
+
+    def read(self) -> np.ndarray | None:
+        """Next frame as (H, W) uint8, or None at EOF."""
+        out = np.empty((self.height, self.width), np.uint8)
+        ok = self._lib.vio_next(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        )
+        return out if ok else None
+
+    def read_batch(self, n: int) -> np.ndarray:
+        """Up to n frames stacked (k, H, W) uint8; k < n only at EOF."""
+        frames = []
+        for _ in range(n):
+            f = self.read()
+            if f is None:
+                break
+            frames.append(f)
+        if not frames:
+            return np.empty((0, self.height, self.width), np.uint8)
+        return np.stack(frames)
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.vio_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def _fp(a: np.ndarray):

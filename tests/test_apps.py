@@ -196,3 +196,49 @@ class TestRefineCli:
         rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rep["finite"]
         assert rep["cost_refined"] <= rep["cost_initial"]
+
+
+class TestVideoCli:
+    def test_y4m_native_replay(self, tmp_path, caplog):
+        """Full video app over a .y4m file: native C++ reader (no cv2 in the
+        file path) -> batched detect -> PnP -> per-tag console report."""
+        import logging
+
+        import jax.numpy as jnp
+
+        from aprilslam_tpu.apps.video_detection import main as video_main
+        from aprilslam_tpu.geometry import PinholeCamera
+        from aprilslam_tpu.sim import SceneConfig, scene_tensors, render_frames, trajectory
+
+        cfg = SceneConfig.from_file()
+        res = 256
+        cam = PinholeCamera.from_fov(res, res, cfg.fov_y)
+        scene = scene_tensors(cfg)
+        traj = trajectory.scripted_line(4, np.array([0.0, 0.0, 20.0]),
+                                        np.array([4.0, 1.0, 10.0]))
+        frames = np.asarray(render_frames(
+            scene, jnp.asarray(traj.positions), jnp.asarray(traj.rotations),
+            jnp.asarray(cam.inv_matrix), res, res, 2))
+        y = np.clip(frames * 255.0, 0, 255).astype(np.uint8)
+
+        y4m = tmp_path / "seq.y4m"
+        with open(y4m, "wb") as f:
+            f.write(f"YUV4MPEG2 W{res} H{res} F25:1 Cmono\n".encode())
+            for fr in y:
+                f.write(b"FRAME\n")
+                f.write(fr.tobytes())
+
+        calib = tmp_path / "cal.npz"
+        np.savez(calib, camera_matrix=cam.matrix,
+                 dist_coeffs=np.zeros(5, np.float32))
+
+        with caplog.at_level(logging.INFO):
+            rc = video_main([
+                "--source", str(y4m), "--calibration", str(calib),
+                "--family", cfg.family, "--tag-size", str(cfg.tag_size_inner),
+                "--batch", "4", "--max-frames", "4", "--device", "cpu",
+                "--decimate", "1",
+            ])
+        assert rc == 0
+        tag_lines = [r.message for r in caplog.records if r.message.startswith("tag ")]
+        assert len(tag_lines) >= 4, tag_lines

@@ -83,3 +83,50 @@ class TestFramePipeline:
         sync = render_frames_native(scene, traj.positions, traj.rotations, cam, 96, 96, 1)
         for first, frames in got.items():
             np.testing.assert_allclose(frames, sync[first : first + 4], atol=1e-6)
+
+
+class TestY4MReader:
+    """Native Y4M ingestion (runtime/video_io.cpp): header parsing, chroma
+    skipping per colourspace, prefetch ring, EOF semantics."""
+
+    @staticmethod
+    def _write_y4m(path, frames, cspace="420"):
+        H, W = frames.shape[1:]
+        with open(path, "wb") as f:
+            f.write(f"YUV4MPEG2 W{W} H{H} F25:1 Ip A1:1 C{cspace}\n".encode())
+            for fr in frames:
+                f.write(b"FRAME\n")
+                f.write(fr.tobytes())
+                if cspace == "420":
+                    f.write(b"\x80" * (H * W // 2))
+                elif cspace == "444":
+                    f.write(b"\x80" * (H * W * 2))
+
+    @pytest.mark.parametrize("cspace", ["420", "444", "mono"])
+    def test_roundtrip(self, tmp_path, rng, cspace):
+        from aprilslam_tpu.runtime import Y4MReader
+
+        frames = rng.integers(0, 256, (5, 32, 48), dtype=np.uint8)
+        path = str(tmp_path / f"t_{cspace}.y4m")
+        self._write_y4m(path, frames, cspace)
+        with Y4MReader(path) as r:
+            assert (r.width, r.height) == (48, 32)
+            assert abs(r.fps - 25.0) < 1e-9
+            got = r.read_batch(8)  # more than available -> stops at EOF
+        np.testing.assert_array_equal(got, frames)
+
+    def test_eof_and_bad_file(self, tmp_path):
+        from aprilslam_tpu.runtime import Y4MReader
+
+        frames = np.zeros((2, 16, 16), np.uint8)
+        path = str(tmp_path / "t.y4m")
+        self._write_y4m(path, frames)
+        with Y4MReader(path) as r:
+            assert r.read_batch(2).shape == (2, 16, 16)
+            assert r.read() is None
+            assert r.read_batch(4).shape[0] == 0
+
+        bad = tmp_path / "bad.y4m"
+        bad.write_bytes(b"NOT A STREAM")
+        with pytest.raises(OSError):
+            Y4MReader(str(bad))
