@@ -108,20 +108,37 @@ def _compact(ka, kb, x, y, w, max_boundary: int):
     sorting shrinks the expensive multi-operand sort by ~16x, which is what
     keeps the TPU compile and runtime tractable at 1000x1000.
 
-    The selection is searchsorted-over-cumsum, NOT nonzero(size=...):
-    nonzero lowers to a scatter, which serializes on TPU and alone cost
-    ~6 ms/frame — half the whole detection step (probe 2026-08-21,
-    tools/probe_quads_tpu.py). Binary-searching the running count of valid
-    entries for each output slot computes the same index list with log2(N)
-    vectorized gathers and no scatter at all.
+    The selection is a two-level binary search over the valid-count cumsum,
+    NOT nonzero(size=...): nonzero lowers to a scatter, which serializes on
+    TPU and alone cost ~6 ms/frame — half the whole detection step (probe
+    2026-08-21, tools/probe_quads_tpu.py). A flat searchsorted was the next
+    bottleneck (xprof: 2.5 ms/frame of big-operand gathers in its 19-step
+    loop): random gathers from the 500k-element cumsum cost ~15 ns each, so
+    the search first runs on the 64x smaller block-end cumsum (a VMEM-sized
+    operand) and only log2(64) = 6 of the expensive big-operand gathers
+    remain to resolve the position inside the block.
     """
+    N = ka.shape[0]
     valid = ka < _BIG
     c = jnp.cumsum(valid.astype(jnp.int32))
     count = c[-1]
-    slot = jnp.arange(max_boundary, dtype=jnp.int32)
-    # idx[j] = position of the (j+1)-th valid entry (c is nondecreasing).
-    idx = jnp.searchsorted(c, slot + 1)
-    idx = jnp.minimum(idx, ka.shape[0] - 1)
+    tgt = jnp.arange(1, max_boundary + 1, dtype=jnp.int32)
+    BS = 64
+    nb = -(-N // BS)
+    c_pad = jnp.concatenate([c, jnp.full((nb * BS - N,), count, c.dtype)])
+    coarse = c_pad[BS - 1 :: BS]  # (nb,) cumsum at block ends
+    blk = jnp.searchsorted(coarse, tgt).astype(jnp.int32)
+    lo = blk * BS  # first index with c >= tgt lies in [lo, lo + BS)
+    hi = lo + BS
+    # bisect_left needs gap 64 -> ... -> 1 -> 0: BS.bit_length() = 7 steps.
+    for _ in range(BS.bit_length()):
+        mid = (lo + hi) // 2
+        cm = jnp.take(c, jnp.minimum(mid, N - 1))
+        right = cm < tgt
+        lo = jnp.where(right, mid + 1, lo)
+        hi = jnp.where(right, hi, mid)
+    idx = jnp.minimum(lo, N - 1)
+    slot = tgt - 1
     live = slot < count
     ka_c = jnp.where(live, jnp.take(ka, idx), _BIG)
     kb_c = jnp.where(live, jnp.take(kb, idx), _BIG)

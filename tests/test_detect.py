@@ -269,3 +269,33 @@ class TestEndToEnd:
         out = det.detect(frames)
         got = sorted(np.asarray(out.ids)[0][np.asarray(out.valid)[0]].tolist())
         assert got == [17, 123], got
+
+
+class TestBoundaryCompaction:
+    def test_two_level_search_matches_nonzero_reference(self, rng):
+        """_compact (two-level bisect over the valid cumsum) must match
+        first-k-valid semantics exactly, including overflow, empty, full,
+        and N not a multiple of the coarse block (regression: one bisect
+        step short returned block-boundary-minus-one indices)."""
+        from aprilslam_tpu.detect.quads import _compact, _BIG
+
+        for N, K, p in [(4999, 256, 0.02), (4999, 256, 0.5), (4999, 256, 0.0),
+                        (4999, 256, 1.0), (100, 256, 0.3)]:
+            valid = rng.random(N) < p
+            ka = np.where(valid, rng.integers(0, 1000, N), int(_BIG)).astype(np.int32)
+            kb = rng.integers(0, 1000, N).astype(np.int32)
+            x = rng.random(N).astype(np.float32)
+            y = rng.random(N).astype(np.float32)
+            w = rng.random(N).astype(np.float32)
+            got = [np.asarray(a) for a in _compact(
+                *map(jnp.asarray, (ka, kb, x, y, w)), K)]
+            idx = np.nonzero(valid)[0][:K]
+            n = len(idx)
+            exp_ka = np.full(K, int(_BIG), np.int32)
+            exp_ka[:n] = ka[idx]
+            exp_w = np.zeros(K, np.float32)
+            exp_w[:n] = w[idx]
+            np.testing.assert_array_equal(got[0], exp_ka, err_msg=f"{N},{K},{p}")
+            np.testing.assert_array_equal(got[1][:n], kb[idx])
+            assert np.allclose(got[2][:n], x[idx]) and np.allclose(got[3][:n], y[idx])
+            assert np.allclose(got[4], exp_w)
