@@ -58,44 +58,53 @@ def detect_fn(family: str | TagFamily = "tagStandard41h12",
     p = params or DetectorParams()
 
     def run(frames: jax.Array) -> Detections:
-        gray = to_grayscale(frames)
-        dec = decimate(gray, p.quad_decimate)
-        trinary, level = adaptive_threshold_with_levels(
-            dec, tile=p.tile, min_contrast=p.min_contrast
-        )
-        labels = connected_components_auto(trinary, p.scan_iters, p.jump_iters)
-        quads = quad_candidates(
-            trinary,
-            labels,
-            dec,
-            p.quad_decimate,
-            level,
-            max_clusters=p.max_clusters,
-            max_quads=p.max_quads,
-            pts_per_quad=p.pts_per_quad,
-            min_cluster_pts=p.min_cluster_pts,
-            min_side=p.min_side,
-            refine_iters=p.refine_iters,
-            max_fit_err=p.max_fit_err,
-            max_boundary=p.max_boundary,
-        )
-        det = decode_quads(
-            gray,
-            quads,
-            ft,
-            max_hamming=p.max_hamming,
-            min_level_contrast=p.min_level_contrast,
-            max_detections=p.max_detections,
-        )
+        # named_scope per stage: the scopes land in the HLO op_name
+        # metadata, which is what tools/profile_step.py joins xprof device
+        # time against — without them quads/decode/refine ops are
+        # indistinguishable inside the fused program.
+        with jax.named_scope("stage_threshold"):
+            gray = to_grayscale(frames)
+            dec = decimate(gray, p.quad_decimate)
+            trinary, level = adaptive_threshold_with_levels(
+                dec, tile=p.tile, min_contrast=p.min_contrast
+            )
+        with jax.named_scope("stage_ccl"):
+            labels = connected_components_auto(trinary, p.scan_iters, p.jump_iters)
+        with jax.named_scope("stage_quads"):
+            quads = quad_candidates(
+                trinary,
+                labels,
+                dec,
+                p.quad_decimate,
+                level,
+                max_clusters=p.max_clusters,
+                max_quads=p.max_quads,
+                pts_per_quad=p.pts_per_quad,
+                min_cluster_pts=p.min_cluster_pts,
+                min_side=p.min_side,
+                refine_iters=p.refine_iters,
+                max_fit_err=p.max_fit_err,
+                max_boundary=p.max_boundary,
+            )
+        with jax.named_scope("stage_decode"):
+            det = decode_quads(
+                gray,
+                quads,
+                ft,
+                max_hamming=p.max_hamming,
+                min_level_contrast=p.min_level_contrast,
+                max_detections=p.max_detections,
+            )
         if p.refine_edges and p.quad_decimate > 1:
             # Quad corners were fit at decimated resolution; re-localize the
             # edges on the full-res frame (apriltag's refine_edges stage).
             from dataclasses import replace as _dc_replace
 
-            refined = refine_corners(
-                gray, det.corners, det.valid,
-                ns=p.refine_samples, half_range=p.refine_range,
-            )
+            with jax.named_scope("stage_refine"):
+                refined = refine_corners(
+                    gray, det.corners, det.valid,
+                    ns=p.refine_samples, half_range=p.refine_range,
+                )
             det = _dc_replace(det, corners=refined)
         return det
 

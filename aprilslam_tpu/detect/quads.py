@@ -140,11 +140,16 @@ def _compact(ka, kb, x, y, w, max_boundary: int):
     idx = jnp.minimum(lo, N - 1)
     slot = tgt - 1
     live = slot < count
-    ka_c = jnp.where(live, jnp.take(ka, idx), _BIG)
-    kb_c = jnp.where(live, jnp.take(kb, idx), _BIG)
-    x_c = jnp.take(x, idx)
-    y_c = jnp.take(y, idx)
-    w_c = jnp.where(live, jnp.take(w, idx), 0.0)
+    # Row-contiguous payload gathers: 5 independent random element-gathers
+    # cost ~15 ns each on TPU; packing the columns lets each gathered row
+    # move as one contiguous vector access (2 gathers instead of 5).
+    ints = jnp.take(jnp.stack([ka, kb], axis=-1), idx, axis=0)  # (K, 2)
+    flts = jnp.take(jnp.stack([x, y, w], axis=-1), idx, axis=0)  # (K, 3)
+    ka_c = jnp.where(live, ints[:, 0], _BIG)
+    kb_c = jnp.where(live, ints[:, 1], _BIG)
+    x_c = flts[:, 0]
+    y_c = flts[:, 1]
+    w_c = jnp.where(live, flts[:, 2], 0.0)
     return ka_c, kb_c, x_c, y_c, w_c
 
 

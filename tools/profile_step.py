@@ -85,25 +85,25 @@ except ImportError:  # layout varies by TF version
     from tensorboard_plugin_profile.protobuf import xplane_pb2
 
 def classify(op_name: str) -> str:
-    """Bucket a jax op_name scope. The name stack carries inner-jit names
-    (jit(ba_optimize), jit(solve_planar_pnp_dual), jit(connected_components),
-    jit(adaptive_threshold_with_levels), vmap(jit(searchsorted))) plus the
-    bare scan loop (jit(slam_step)/while/...). Ops from quads/decode/refine
-    run inline in slam_step and are not separable by scope — they form the
-    'detect-inline' bucket."""
+    """Bucket a jax op_name scope. Detector stages carry explicit
+    named_scopes (stage_threshold/ccl/quads/decode/refine, detector.py);
+    the backend pieces are identified by their inner-jit names."""
+    for stage in ("threshold", "ccl", "quads", "decode", "refine"):
+        if f"stage_{stage}" in op_name:
+            return stage
     if "ba_optimize" in op_name:
         return "ba(chunk)"
     if "solve_planar_pnp_dual" in op_name or "pnp" in op_name:
         return "pnp"
-    if "connected_components" in op_name or "ccl" in op_name:
+    if "connected_components" in op_name:
         return "ccl"
     if "adaptive_threshold" in op_name or "median" in op_name:
         return "threshold"
-    if op_name.startswith("jit(slam_step)/while/") or "/while/body" in op_name.split("jit(slam_step)/")[-1][:12]:
+    if op_name.startswith("jit(slam_step)/while/"):
         return "scan(per-frame)"
     if "searchsorted" in op_name:
-        return "quads-compact"
-    return "detect-inline"
+        return "quads"
+    return "other"
 
 
 totals = defaultdict(float)
