@@ -164,43 +164,59 @@ def _cluster(ka, kb, x, y, w, max_clusters: int, min_pts: int = 1):
     speck clusters, and first-come slot assignment would evict the real tag
     boundaries. Ranking by size keeps the detector's fixed capacity while
     making eviction hit the specks first.
+
+    SCATTER-FREE: after the sort every cluster is a contiguous run, so
+    per-run statistics come from segmented forward scans evaluated at the
+    run's last element (log-depth associative scans + tiny gathers) —
+    jax.ops.segment_* would lower to six serialized 16k-element scatters
+    on TPU (xprof 2026-08-21).
     """
     n = ka.shape[0]
     ka_s, kb_s, x_s, y_s, w_s = jax.lax.sort((ka, kb, x, y, w), num_keys=2, is_stable=False)
     valid = ka_s < _BIG
     new_seg = jnp.ones((n,), dtype=bool)
     new_seg = new_seg.at[1:].set((ka_s[1:] != ka_s[:-1]) | (kb_s[1:] != kb_s[:-1]))
-    seg_raw = jnp.cumsum(new_seg.astype(jnp.int32)) - 1  # 0..n-1, contiguous
-    seg_raw = jnp.where(valid, seg_raw, n)
+    idx = jnp.arange(n, dtype=jnp.int32)
 
-    # Per-segment sizes over the FULL (uncapped) segment space, then keep the
-    # max_clusters largest segments that meet the minimum size.
-    sizes = jax.ops.segment_sum(valid.astype(jnp.float32), seg_raw, num_segments=n + 1)[:n]
-    score = jnp.where(sizes >= min_pts, sizes, -1.0)
-    top_sz, top_ids = jax.lax.top_k(score, max_clusters)
-    remap = jnp.full((n + 1,), max_clusters, jnp.int32)
-    remap = remap.at[top_ids].set(
-        jnp.where(top_sz > 0, jnp.arange(max_clusters, dtype=jnp.int32), max_clusters)
+    # Run extent per element: start via forward max-scan of start markers;
+    # end (exclusive) via the next run's start (reverse min-scan).
+    start_elt = jax.lax.associative_scan(jnp.maximum, jnp.where(new_seg, idx, 0))
+    nxt = jnp.where(new_seg, idx, n)
+    next_start = jnp.flip(
+        jax.lax.associative_scan(jnp.minimum, jnp.flip(jnp.roll(nxt, -1).at[-1].set(n)))
     )
-    seg_id = remap[seg_raw]
+    size_elt = next_start - start_elt  # (n,) run length at every element
 
-    ns = max_clusters + 1
-    live = valid & (seg_id < max_clusters)
-    ones = live.astype(jnp.float32)
-    count = jax.ops.segment_sum(ones, seg_id, num_segments=ns)
-    pos = jnp.arange(n, dtype=jnp.int32)
-    start = jax.ops.segment_min(jnp.where(live, pos, n), seg_id, num_segments=ns)
-    xmin = jax.ops.segment_min(jnp.where(live, x_s, jnp.inf), seg_id, num_segments=ns)
-    xmax = jax.ops.segment_max(jnp.where(live, x_s, -jnp.inf), seg_id, num_segments=ns)
-    ymin = jax.ops.segment_min(jnp.where(live, y_s, jnp.inf), seg_id, num_segments=ns)
-    ymax = jax.ops.segment_max(jnp.where(live, y_s, -jnp.inf), seg_id, num_segments=ns)
+    # Segmented forward min/max scans for the bbox (reset at run starts).
+    def seg_scan(vals, op, init):
+        def combine(a, b):
+            av, ar = a
+            bv, br = b
+            return jnp.where(br, op(av, bv), bv), ar & br
+        out, _ = jax.lax.associative_scan(combine, (vals, ~new_seg))
+        return out
+
+    xmin_s = seg_scan(x_s, jnp.minimum, None)
+    xmax_s = seg_scan(x_s, jnp.maximum, None)
+    ymin_s = seg_scan(y_s, jnp.minimum, None)
+    ymax_s = seg_scan(y_s, jnp.maximum, None)
+
+    # Rank runs by size: only a run's FIRST element scores (others -1), so
+    # top_k over elements yields run starts directly, largest first.
+    score = jnp.where(new_seg & valid & (size_elt >= min_pts),
+                      size_elt.astype(jnp.float32), -1.0)
+    top_sz, top_pos = jax.lax.top_k(score, max_clusters)
+    sel = top_sz > 0
+    start = jnp.where(sel, top_pos, n)
+    last = jnp.clip(jnp.where(sel, top_pos + top_sz.astype(jnp.int32) - 1, 0), 0, n - 1)
+    inf = jnp.float32(jnp.inf)
     return (x_s, y_s, w_s), dict(
-        count=count[:max_clusters],
-        start=start[:max_clusters],
-        xmin=xmin[:max_clusters],
-        xmax=xmax[:max_clusters],
-        ymin=ymin[:max_clusters],
-        ymax=ymax[:max_clusters],
+        count=jnp.where(sel, top_sz, 0.0),
+        start=start,
+        xmin=jnp.where(sel, jnp.take(xmin_s, last), inf),
+        xmax=jnp.where(sel, jnp.take(xmax_s, last), -inf),
+        ymin=jnp.where(sel, jnp.take(ymin_s, last), inf),
+        ymax=jnp.where(sel, jnp.take(ymax_s, last), -inf),
     )
 
 

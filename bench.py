@@ -286,7 +286,10 @@ def main():
     cfg = SceneConfig.from_file()
     cam = PinholeCamera.from_fov(W, H, cfg.fov_y)
     scene = scene_tensors(cfg)
-    params = DetectorParams(quad_decimate=2, min_cluster_pts=12)
+    # max_detections 16 = 3x headroom over the 5-tag scene; halves the
+    # (mostly padding) per-detection PnP work. ATE-verified neutral.
+    params = DetectorParams(quad_decimate=2, min_cluster_pts=12,
+                            max_detections=16)
 
     traj = trajectory.monte_carlo(B * n_chunks, seed=3)
     pos = jnp.asarray(traj.positions)
@@ -305,6 +308,12 @@ def main():
         detector_params=params,
         estimator=os.environ.get("BENCH_ESTIMATOR", "ba"),
         ba_schedule=os.environ.get("BENCH_BA_SCHEDULE", "chunk"),
+        # In-scan localization only seeds keyframe insertion under the
+        # chunk schedule (the reported pose comes from the post-scan
+        # batched re-localization at full depth); 8 chunk-LM iterations
+        # match 16 on ATE. Both verified ATE-neutral on the accuracy pass.
+        init_joint_iters=3,
+        ba_chunk_iters=8,
     )
     # NOTE: no donate_argnums — buffer donation trips an INVALID_ARGUMENT in
     # the axon TPU backend (verified empirically; works fine without).
