@@ -297,10 +297,11 @@ def main():
     K_inv = jnp.asarray(cam.inv_matrix)
 
     # chunk schedule beats per-frame on BOTH axes on the real chip
-    # (97.43 vs 93.37 fps, ATE 0.2417 vs 0.2896 — measured 2026-08-21):
-    # the LM-BA solve runs once per chunk outside the sequential scan and a
-    # batched re-localization against the final map recovers (and improves)
-    # accuracy. Hence the default.
+    # (fps 97.43 vs 93.37 at the time of the switch; ATE 0.2417 vs 0.2896;
+    # 137.09 fps after the scatter-free detector work — all measured
+    # 2026-08-21): the LM-BA solve runs once per chunk outside the
+    # sequential scan and a batched re-localization against the final map
+    # recovers (and improves) accuracy. Hence the default.
     step, init = build_slam_step(
         cfg.family,
         cam,
