@@ -126,18 +126,15 @@ def _compact(ka, kb, x, y, w, max_boundary: int):
     BS = 64
     nb = -(-N // BS)
     c_pad = jnp.concatenate([c, jnp.full((nb * BS - N,), count, c.dtype)])
-    coarse = c_pad[BS - 1 :: BS]  # (nb,) cumsum at block ends
+    c_rows = c_pad.reshape(nb, BS)
+    coarse = c_rows[:, -1]  # (nb,) cumsum at block ends
     blk = jnp.searchsorted(coarse, tgt).astype(jnp.int32)
-    lo = blk * BS  # first index with c >= tgt lies in [lo, lo + BS)
-    hi = lo + BS
-    # bisect_left needs gap 64 -> ... -> 1 -> 0: BS.bit_length() = 7 steps.
-    for _ in range(BS.bit_length()):
-        mid = (lo + hi) // 2
-        cm = jnp.take(c, jnp.minimum(mid, N - 1))
-        right = cm < tgt
-        lo = jnp.where(right, mid + 1, lo)
-        hi = jnp.where(right, hi, mid)
-    idx = jnp.minimum(lo, N - 1)
+    # Resolve the position INSIDE the block with one row-contiguous gather
+    # (each row moves as a single vector access) + a lane-wise compare-sum,
+    # instead of 7 random-gather bisect steps over the 500k cumsum.
+    rows = jnp.take(c_rows, jnp.minimum(blk, nb - 1), axis=0)  # (K, BS)
+    pos = jnp.sum((rows < tgt[:, None]).astype(jnp.int32), axis=-1)
+    idx = jnp.minimum(blk * BS + pos, N - 1)
     slot = tgt - 1
     live = slot < count
     # Row-contiguous payload gathers: 5 independent random element-gathers
