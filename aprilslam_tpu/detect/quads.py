@@ -128,10 +128,25 @@ def _compact(ka, kb, x, y, w, max_boundary: int):
     c_pad = jnp.concatenate([c, jnp.full((nb * BS - N,), count, c.dtype)])
     c_rows = c_pad.reshape(nb, BS)
     coarse = c_rows[:, -1]  # (nb,) cumsum at block ends
-    blk = jnp.searchsorted(coarse, tgt).astype(jnp.int32)
-    # Resolve the position INSIDE the block with one row-contiguous gather
-    # (each row moves as a single vector access) + a lane-wise compare-sum,
-    # instead of 7 random-gather bisect steps over the 500k cumsum.
+
+    # Two recursive levels of [row-contiguous gather + lane-wise
+    # compare-sum] replace every random-gather bisect: each gathered row
+    # moves as one vector access, so locating 16k targets costs two row
+    # gathers plus a tiny 7-step bisect over the ~128-entry top level.
+    def row_locate(arr, tgt_v):
+        """arr (M,) nondecreasing -> first index with arr >= tgt, via one
+        (64-wide) row gather per query + a small bisect over row ends."""
+        M = arr.shape[0]
+        nr = -(-M // BS)
+        a_pad = jnp.concatenate([arr, jnp.full((nr * BS - M,), arr[-1], arr.dtype)])
+        a_rows = a_pad.reshape(nr, BS)
+        ends = a_rows[:, -1]
+        r = jnp.searchsorted(ends, tgt_v).astype(jnp.int32)
+        rows = jnp.take(a_rows, jnp.minimum(r, nr - 1), axis=0)
+        pos = jnp.sum((rows < tgt_v[:, None]).astype(jnp.int32), axis=-1)
+        return r * BS + pos
+
+    blk = row_locate(coarse, tgt)  # block containing the target
     rows = jnp.take(c_rows, jnp.minimum(blk, nb - 1), axis=0)  # (K, BS)
     pos = jnp.sum((rows < tgt[:, None]).astype(jnp.int32), axis=-1)
     idx = jnp.minimum(blk * BS + pos, N - 1)
