@@ -76,6 +76,15 @@ def front(fr):
     return q.corners, q.valid
 
 
+def thrccl(fr):
+    gray = to_grayscale(fr)
+    dec = decimate(gray, p.quad_decimate)
+    trinary, level = adaptive_threshold_with_levels(dec, tile=p.tile, min_contrast=p.min_contrast)
+    labels = connected_components_auto(trinary, p.scan_iters, p.jump_iters)
+    return labels, level
+
+
+t_thrccl = timed("thr+ccl", thrccl, frames)
 t_front = timed("front", front, frames)
 det = detect_fn(cfg.family, p)
 t_det = timed("detect", lambda fr: det(fr).corners, frames)
@@ -96,5 +105,6 @@ jax.block_until_ready(o)
 ms = (time.perf_counter() - t0) / REPS * 1e3
 print(f"{'step':10s} {ms:8.2f} ms/call  {ms / B:6.2f} ms/frame  {B / ms * 1e3:7.1f} fps")
 
-print(f"\ndeltas: decode+refine = {(t_det - t_front) / B:.2f} ms/frame; "
+print(f"\ndeltas: quads = {(t_front - t_thrccl) / B:.2f}; "
+      f"decode+refine = {(t_det - t_front) / B:.2f}; "
       f"backend (pnp+scan+ba+reloc) = {(ms - t_det) / B:.2f} ms/frame")
