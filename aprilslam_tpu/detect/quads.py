@@ -184,7 +184,14 @@ def _cluster(ka, kb, x, y, w, max_clusters: int, min_pts: int = 1):
     on TPU (xprof 2026-08-21).
     """
     n = ka.shape[0]
-    ka_s, kb_s, x_s, y_s, w_s = jax.lax.sort((ka, kb, x, y, w), num_keys=2, is_stable=False)
+    # Sort only (keys, iota): payload floats would otherwise ride through
+    # every compare-exchange of the bitonic network; one packed row-gather
+    # reorders them afterwards instead.
+    ka_s, kb_s, perm = jax.lax.sort(
+        (ka, kb, jnp.arange(n, dtype=jnp.int32)), num_keys=2, is_stable=False
+    )
+    pay = jnp.take(jnp.stack([x, y, w], axis=-1), perm, axis=0)  # (n, 3)
+    x_s, y_s, w_s = pay[:, 0], pay[:, 1], pay[:, 2]
     valid = ka_s < _BIG
     new_seg = jnp.ones((n,), dtype=bool)
     new_seg = new_seg.at[1:].set((ka_s[1:] != ka_s[:-1]) | (kb_s[1:] != kb_s[:-1]))

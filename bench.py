@@ -315,6 +315,9 @@ def main():
         # match 16 on ATE. Both verified ATE-neutral on the accuracy pass.
         init_joint_iters=3,
         ba_chunk_iters=8,
+        # PnP only seeds the joint/BA refinement in this pipeline; 5 LM
+        # iterations match 8 on ATE (0.2427 both, accuracy pass).
+        pnp_iters=5,
     )
     # NOTE: no donate_argnums — buffer donation trips an INVALID_ARGUMENT in
     # the axon TPU backend (verified empirically; works fine without).
