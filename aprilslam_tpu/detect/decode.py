@@ -104,17 +104,16 @@ def bilinear_sample(image: jax.Array, uv: jax.Array) -> jax.Array:
     fy = jnp.clip(y - y0, 0.0, 1.0)
     x0 = x0.astype(jnp.int32)
     y0 = y0.astype(jnp.int32)
+    # Two row-pair gathers instead of four element gathers: the x and x+1
+    # neighbours are contiguous, so viewing the image as (H*W/2 - ...) is
+    # not possible in general, but gathering 2-wide rows from a (H*W, 1)
+    # layout is — pack neighbouring columns: pairs[i] = (flat[i], flat[i+1]).
     flat = image.reshape(-1)
-    i00 = jnp.take(flat, y0 * W + x0)
-    i01 = jnp.take(flat, y0 * W + x0 + 1)
-    i10 = jnp.take(flat, (y0 + 1) * W + x0)
-    i11 = jnp.take(flat, (y0 + 1) * W + x0 + 1)
-    return (
-        i00 * (1 - fx) * (1 - fy)
-        + i01 * fx * (1 - fy)
-        + i10 * (1 - fx) * fy
-        + i11 * fx * fy
-    )
+    pairs = jnp.stack([flat, jnp.roll(flat, -1)], axis=-1)  # (H*W, 2)
+    top = jnp.take(pairs, y0 * W + x0, axis=0)  # (..., 2) = (i00, i01)
+    bot = jnp.take(pairs, (y0 + 1) * W + x0, axis=0)  # (..., 2) = (i10, i11)
+    wx = jnp.stack([1 - fx, fx], axis=-1)
+    return jnp.sum((top * (1 - fy)[..., None] + bot * fy[..., None]) * wx, axis=-1)
 
 
 class FamilyTensors:
