@@ -46,10 +46,10 @@ def _send_msg(sock: socket.socket, body: bytes) -> None:
     sock.sendall(struct.pack(">Q", len(body)) + body)
 
 
-def _recv_msg(sock: socket.socket) -> bytes:
+def _recv_msg(sock: socket.socket, max_len: int = 1 << 31) -> bytes:
     (n,) = struct.unpack(">Q", _recv_exact(sock, 8))
-    if n > (1 << 31):
-        raise ValueError(f"message too large: {n}")
+    if n > max_len:
+        raise ValueError(f"message too large: {n} > {max_len}")
     return _recv_exact(sock, n)
 
 
@@ -110,19 +110,47 @@ def make_server(host, port, camera, family, tag_size, batch, res, channels,
     stats = {"requests": 0, "frames": 0, "busy_s": 0.0,
              "compile_s": round(compile_s, 1)}
 
+    import math
+
+    payload_cap = max(1 << 20, 4 * math.prod(shape))
+
     class Handler(socketserver.BaseRequestHandler):
         def handle(self):
             try:
                 while True:
                     try:
-                        header = json.loads(_recv_msg(self.request))
+                        # Headers are small JSON; a huge length prefix is a
+                        # protocol violation — answer, then drop the
+                        # connection (the stream can't be resynchronized).
+                        raw = _recv_msg(self.request, max_len=1 << 20)
                     except ConnectionError:
                         return
-                    payload = _recv_msg(self.request)
-                    _send_msg(self.request, json.dumps(
-                        self._dispatch(header, payload)).encode())
+                    except ValueError as e:
+                        self._reply({"ok": False, "error": str(e)})
+                        return
+                    try:
+                        payload = _recv_msg(self.request, max_len=payload_cap)
+                    except ValueError as e:
+                        self._reply({"ok": False, "error": str(e)})
+                        return
+                    # Any per-request failure (malformed JSON, bad shape,
+                    # wrong payload size, ...) becomes an error RESPONSE —
+                    # never a silently dead handler that leaves the client
+                    # blocking on its timeout.
+                    try:
+                        header = json.loads(raw)
+                        if not isinstance(header, dict):
+                            raise ValueError("header must be a JSON object")
+                        resp = self._dispatch(header, payload)
+                    except Exception as e:  # noqa: BLE001 — reply, keep serving
+                        resp = {"ok": False,
+                                "error": f"{type(e).__name__}: {e}"}
+                    self._reply(resp)
             except (ConnectionError, OSError):
                 return
+
+        def _reply(self, resp: dict) -> None:
+            _send_msg(self.request, json.dumps(resp).encode())
 
         def _dispatch(self, header, payload):
             cmd = header.get("cmd")
@@ -140,10 +168,19 @@ def make_server(host, port, camera, family, tag_size, batch, res, channels,
                 return {"ok": True, **out}
             if cmd != "process":
                 return {"ok": False, "error": f"unknown cmd {cmd!r}"}
-            got = tuple(header.get("shape", ()))
+            raw_shape = header.get("shape", ())
+            if not (isinstance(raw_shape, (list, tuple))
+                    and all(isinstance(v, int) for v in raw_shape)):
+                return {"ok": False,
+                        "error": f"shape must be a list of ints, got {raw_shape!r}"}
+            got = tuple(raw_shape)
             if got != shape:
                 return {"ok": False,
                         "error": f"shape {got} != server shape {shape}"}
+            if len(payload) != math.prod(shape):
+                return {"ok": False,
+                        "error": (f"payload {len(payload)} bytes != "
+                                  f"{math.prod(shape)} for shape {shape}")}
             import numpy as np
 
             frames = np.frombuffer(payload, np.uint8).reshape(shape)

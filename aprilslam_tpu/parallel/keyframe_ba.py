@@ -115,7 +115,17 @@ def partition_obs_by_keyframe(
     Device d owns keyframes [d*K/n, (d+1)*K/n). The output arrays have
     length per*n where per = max bucket size rounded up to a multiple of 8 —
     nothing is ever dropped (cf. shard_observations_by_owner fit=True).
+
+    ``n_keyframes`` must divide evenly into ``n_shards`` blocks: with a
+    ragged split the trailing keyframes' owner index would land past the
+    last shard and their observations would be dropped silently.
     """
+    if n_keyframes % n_shards != 0:
+        raise ValueError(
+            f"n_keyframes={n_keyframes} must be divisible by "
+            f"n_shards={n_shards} (a ragged split would drop the trailing "
+            f"keyframes' observations)"
+        )
     kl = n_keyframes // n_shards
     ok = np.asarray(obs_ok, bool)
     owner = np.asarray(obs_kf) // max(kl, 1)

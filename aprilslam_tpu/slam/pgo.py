@@ -118,13 +118,14 @@ def pgo_optimize(
     damping: float = 1e-4,
     gauge_weight: float = 1e6,
     rot_weight: float = 25.0,
+    gauge_index: jax.Array | None = None,  # explicit gauge pose (else first active)
 ) -> jax.Array:
     """LM over all poses with tangent perturbations; returns refined poses."""
     N = poses.shape[0]
     dtype = poses.dtype
     if active is None:
         active = jnp.ones((N,), bool)
-    first_active = jnp.argmax(active)
+    first_active = jnp.argmax(active) if gauge_index is None else gauge_index
 
     def residual_flat(xi_all, base):
         perturbed = jax.vmap(lambda x, T: se3_exp(x) @ T)(xi_all.reshape(N, 6), base)

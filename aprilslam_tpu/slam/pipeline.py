@@ -24,7 +24,11 @@ from ..pose import poses_from_detections
 from .graph import GraphState, init_graph, update_graph, estimate_pose_average
 from .localize import joint_camera_pose
 from .ba import BAState, ba_init, ba_add_frame, ba_optimize, latest_pose
-from .loop import PgoState, pgo_init, pgo_track_frame, apply_node_deltas
+from .loop import (
+    PgoState, pgo_init, pgo_track_frame, pgo_solve, apply_node_deltas,
+    loop_window_open,
+)
+from .taggraph import taggraph_init, taggraph_accumulate, taggraph_solve
 
 Estimator = Literal["reference_chain", "chain_avg", "joint", "ba"]
 
@@ -102,12 +106,24 @@ def build_slam_step(
     step on TPU — hundreds of tiny 6x6 ops per frame that cannot use the
     MXU — so moving the solver out cuts scan work by ~B x while the map
     still converges across chunks (PTAM's tracking/mapping split,
-    re-expressed for a jitted chunk pipeline). Not supported with pgo=True
-    (loop closure needs the per-frame refined map).
+    re-expressed for a jitted chunk pipeline).
+
+    With ``pgo=True`` two pose graphs run alongside BA:
+
+    * the CAMERA pose graph (slam/loop.py): node adoption + loop-edge
+      minting stay in the per-frame scan; the solve runs inline per frame
+      under ``ba_schedule="frame"`` and is hoisted to the chunk boundary
+      under ``"chunk"`` (same hoisting as the LM-BA solve);
+    * the LANDMARK pose graph (slam/taggraph.py): tag-to-tag relative
+      poses accumulate from every co-visible detection pair (batched,
+      outside the scan) and a small LM solve refines the landmark map
+      once per chunk — the robust map corrector (hundreds of averaged
+      sightings, not one PnP loop edge).
 
     ``init_joint_iters`` bounds the GN depth of the PRE-BA localization
     whose only job is seeding keyframe insertion (the reported pose comes
-    from the post-BA localization at full ``joint_iters``).
+    from the post-BA localization at full ``joint_iters``, or — under the
+    chunk schedule — from the post-scan batched re-localization).
     """
     detect = detect_fn(family, detector_params)
     K = jnp.asarray(camera.matrix)
@@ -119,8 +135,6 @@ def build_slam_step(
     use_ba = estimator == "ba"
     use_pgo = pgo and use_ba
     ba_per_frame = ba_schedule == "frame"
-    if not ba_per_frame and pgo:
-        raise ValueError("ba_schedule='chunk' is not supported with pgo=True")
     if init_joint_iters is None:
         init_joint_iters = joint_iters
 
@@ -151,14 +165,14 @@ def build_slam_step(
         # a planar-ambiguous pose (localization still uses all corners).
         gate_seeding = estimator in ("joint", "ba")
 
-        def per_frame(state, inp):
+        def per_frame(scan_state, inp):
             if use_pgo:
-                graph, ba, pgo_s = state
+                graph, ba, pgo_s = scan_state
             elif use_ba:
-                graph, ba = state
+                graph, ba = scan_state
                 pgo_s = None
             else:
-                graph, ba, pgo_s = state, None, None
+                graph, ba, pgo_s = scan_state, None, None
             M = graph.capacity
             ids, T, T_alt, ok, seed, corners = inp
             graph = update_graph(graph, ids, T, ok & seed if gate_seeding else ok)
@@ -234,7 +248,7 @@ def build_slam_step(
 
                 T_wc0 = T_lm @ _se3_inverse(T[c_idx])
                 T_wc0b = T_lm @ _se3_inverse(T_alt[c_idx])
-                T_loc, _ = localize(ba.lm_pose, use, T_wc0, T_wc0b, init_joint_iters)
+                T_loc, r_loc = localize(ba.lm_pose, use, T_wc0, T_wc0b, init_joint_iters)
                 T_init = jnp.where(jnp.any(use), T_loc, T_wc0)
 
                 # Keyframe policy: adopt the frame while the window has free
@@ -260,21 +274,36 @@ def build_slam_step(
                 # coordinate tag when ids arrive out of order; reporting
                 # relative to it shifts every pose by the inter-tag offset.
                 use = seen & ba.lm_active
-                pose_w, rms = localize(ba.lm_pose, use, T_init, T_wc0b, joint_iters)
+                if ba_per_frame:
+                    pose_w, rms = localize(ba.lm_pose, use, T_init, T_wc0b, joint_iters)
+                else:
+                    # Chunk schedule: the reported pose comes from the
+                    # post-scan batched re-localization against the FINAL
+                    # map, so a second in-scan dual-GN solve here would be
+                    # pure scan latency — reuse the seeding localization.
+                    pose_w, rms = T_init, r_loc
 
                 if use_pgo:
-                    # Pose-graph backend: adopt keyframes as nodes, mint
-                    # odometry + loop-closure edges, and when a loop closes
-                    # fold the per-node corrections into the landmark map,
-                    # the BA window, and this frame's pose (slam/loop.py).
+                    # Camera pose-graph backend: adopt keyframes as nodes,
+                    # mint odometry + loop-closure edges (slam/loop.py).
+                    # Under the frame schedule the solve runs inline and
+                    # the per-node corrections fold into the landmark map,
+                    # the BA window, and this frame's pose; under the chunk
+                    # schedule minting stays here and the solve is hoisted
+                    # to the chunk boundary.
                     #
                     # A re-observation of a long-unseen landmark must become
                     # a node even when the keyframe policy would skip it
                     # (full window, nothing new to seed) — otherwise the
-                    # loop edge has no node to attach to.
+                    # loop edge has no node to attach to. Landmarks inside
+                    # an open loop window keep forcing adoption so several
+                    # sightings accumulate.
                     maybe_loop = jnp.any(
-                        seen & (pgo_s.lm_node >= 0)
-                        & ((pgo_s.frame - pgo_s.lm_frame) > pgo_loop_gap)
+                        seen & (
+                            ((pgo_s.lm_node >= 0)
+                             & ((pgo_s.frame - pgo_s.lm_frame) > pgo_loop_gap))
+                            | loop_window_open(pgo_s)
+                        )
                     )
                     is_node = is_kf | (maybe_loop & jnp.any(use))
                     # Loop/odometry measurements only from branch-reliable
@@ -284,16 +313,18 @@ def build_slam_step(
                         pgo_s, pose_w, jnp.any(use), ids, T, ok & seed, is_node,
                         jnp.where(is_kf, kf_slot, ba.n_keyframes),
                         loop_gap=pgo_loop_gap,
+                        solve=ba_per_frame,
                     )
-                    ba = _replace(
-                        ba,
-                        lm_pose=apply_node_deltas(delta, pgo_s.lm_ref, ba.lm_pose),
-                        kf_pose=apply_node_deltas(delta, pgo_s.kf_node, ba.kf_pose),
-                    )
-                    last_node = jnp.clip(pgo_s.node_ptr - 1, 0, pgo_nodes - 1)
-                    pose_w = jnp.where(
-                        closed, delta[last_node] @ pose_w, pose_w
-                    )
+                    if ba_per_frame:
+                        ba = _replace(
+                            ba,
+                            lm_pose=apply_node_deltas(delta, pgo_s.lm_ref, ba.lm_pose),
+                            kf_pose=apply_node_deltas(delta, pgo_s.kf_node, ba.kf_pose),
+                        )
+                        last_node = (pgo_s.node_ptr - 1) % pgo_nodes
+                        pose_w = jnp.where(
+                            closed, delta[last_node] @ pose_w, pose_w
+                        )
 
                 coord = graph.coordinate_id
                 c_slot = jnp.clip(coord, 0, Ml - 1)
@@ -328,23 +359,61 @@ def build_slam_step(
                 return (graph, ba, pgo_s), out
             return ((graph, ba) if use_ba else graph), out
 
-        state, outs = jax.lax.scan(
-            per_frame, state, (det.ids, T_all, T_alt_all, ok_all, seed_all, det.corners)
+        if use_pgo:
+            _g0, _ba0, _pgo0, tg = state
+            scan_state = (_g0, _ba0, _pgo0)
+        else:
+            scan_state = state
+        scan_state, outs = jax.lax.scan(
+            per_frame, scan_state,
+            (det.ids, T_all, T_alt_all, ok_all, seed_all, det.corners),
         )
+
         if use_ba and not ba_per_frame:
             # Chunk-level mapping pass: one LM-BA solve refines the map for
             # the NEXT chunk's localizations. Budget matches the per-frame
             # schedule's total (B * ba_iters_per_frame), so accuracy-per-
             # compute is traded for scan latency, not dropped.
             B = frames.shape[0]
-            graph, ba = state
+            if use_pgo:
+                graph, ba, pgo_s = scan_state
+            else:
+                graph, ba = scan_state
             chunk_iters = (
                 ba_chunk_iters if ba_chunk_iters is not None
                 else min(B * ba_iters_per_frame, 16)
             )
             if chunk_iters > 0:
                 ba = ba_optimize(ba, K, tag_size, iters=chunk_iters)
-            state = (graph, ba)
+
+            if use_pgo:
+                # Hoisted camera pose-graph solve (mirrors the LM-BA
+                # hoisting): fold every loop edge minted during the chunk
+                # into ONE optimization, then conjugate the keyframe
+                # window by the per-node corrections. The landmark map is
+                # corrected by the landmark pose graph below, not by node
+                # conjugation — node deltas distribute the loop error
+                # evenly along the odometry chain, which is exactly the
+                # noise-sensitive correction round 3 shipped.
+                pgo_s, delta, _closed = pgo_solve(pgo_s)
+                ba = _replace(
+                    ba,
+                    kf_pose=apply_node_deltas(delta, pgo_s.kf_node, ba.kf_pose),
+                )
+                # Landmark pose graph: accumulate this chunk's co-visible
+                # detection pairs (batched — outside the scan) and refine
+                # the landmark map against the averaged relative-pose
+                # graph, gauge-fixed at the anchor.
+                tg = taggraph_accumulate(tg, det.ids, T_all, ok_all & seed_all)
+                ba = _replace(
+                    ba,
+                    lm_pose=taggraph_solve(
+                        tg, ba.lm_pose, ba.lm_active, ba.anchor
+                    ),
+                )
+                state = (graph, ba, pgo_s, tg)
+            else:
+                state = (graph, ba)
 
             # Batched re-localization: every frame of the chunk is refined
             # against the FINAL map in ONE vmapped GN pass (parallel over
@@ -354,7 +423,7 @@ def build_slam_step(
             Ml = ba.n_landmarks
             eye4 = jnp.eye(4, dtype=ba.lm_pose.dtype)
 
-            def reloc(ids_b, ok_b, corners_b, pose_b, coord_b, valid_b):
+            def reloc(ids_b, ok_b, corners_b, pose_b, coord_b, valid_b, rms_b):
                 corn_m, seen = scatter_frame(ids_b, ok_b, corners_b, Ml)
                 use = seen & ba.lm_active
                 c_slot = jnp.clip(coord_b, 0, Ml - 1)
@@ -367,13 +436,31 @@ def build_slam_step(
                 )
                 refined = _se3_inverse(T_wa) @ T_w
                 keep = valid_b & frame_ok & jnp.any(use)
-                return jnp.where(keep, refined, pose_b)
+                # Report the rms of the pose actually returned, so quality
+                # metrics correspond to the reported poses.
+                return (
+                    jnp.where(keep, refined, pose_b),
+                    jnp.where(keep, _rms.astype(rms_b.dtype), rms_b),
+                )
 
-            poses_r = jax.vmap(reloc)(
+            poses_r, rms_r = jax.vmap(reloc)(
                 det.ids, ok_all, det.corners, outs.poses, outs.coord_id,
-                outs.valid,
+                outs.valid, outs.reproj_rms,
             )
-            outs = _replace(outs, poses=poses_r)
+            outs = _replace(outs, poses=poses_r, reproj_rms=rms_r)
+        elif use_pgo:
+            # Frame schedule: the camera pose-graph solve already ran
+            # inline; fold the chunk's detections into the landmark pose
+            # graph and refine the map once per chunk.
+            graph, ba, pgo_s = scan_state
+            tg = taggraph_accumulate(tg, det.ids, T_all, ok_all & seed_all)
+            ba = _replace(
+                ba,
+                lm_pose=taggraph_solve(tg, ba.lm_pose, ba.lm_active, ba.anchor),
+            )
+            state = (graph, ba, pgo_s, tg)
+        else:
+            state = scan_state
         return state, outs
 
     def init():
@@ -383,6 +470,7 @@ def build_slam_step(
                 g,
                 ba_init(ba_keyframes, graph_capacity, ba_obs),
                 pgo_init(pgo_nodes, pgo_edges, graph_capacity, ba_keyframes),
+                taggraph_init(graph_capacity),
             )
         if use_ba:
             return (g, ba_init(ba_keyframes, graph_capacity, ba_obs))

@@ -45,7 +45,20 @@ def enable_compilation_cache(path: str | None = None) -> str:
     return cache_dir
 
 
-_PROBE_CACHE = "/tmp/aprilslam_tpu_probe.json"
+def _probe_cache_path() -> str:
+    """Per-user probe-verdict cache path.
+
+    A fixed world-writable /tmp path lets another local user squat the
+    file (forcing CPU fallback, or pinning a stale ok verdict) and makes
+    two users collide on ownership — scope it by uid instead.
+    """
+    import os
+
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    return f"/tmp/aprilslam_tpu_probe.{uid}.json"
+
+
+_PROBE_CACHE = _probe_cache_path()
 
 
 def tpu_responsive(timeout_s: float = 90.0, cache_ttl_s: float = 300.0) -> bool:
@@ -62,7 +75,12 @@ def tpu_responsive(timeout_s: float = 90.0, cache_ttl_s: float = 300.0) -> bool:
     import sys
     import time
 
+    import os
+
     try:
+        st = os.stat(_PROBE_CACHE)
+        if hasattr(os, "getuid") and st.st_uid != os.getuid():
+            raise OSError("probe cache not owned by this user")
         with open(_PROBE_CACHE) as f:
             saved = json.load(f)
         if time.time() - saved["ts"] < cache_ttl_s:

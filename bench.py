@@ -64,7 +64,11 @@ def _orchestrate() -> int:
         """Run a measurement child, STREAMING its stdout through as lines
         arrive — if the OUTER driver kills this orchestrator mid-child, the
         child's already-printed headline is on our stdout, preserving the
-        print-first contract end to end."""
+        print-first contract end to end.
+
+        Reads are raw non-blocking os.read with manual line assembly: a
+        child wedged MID-LINE must not defeat the deadline (readline()
+        after select() blocks until the newline that never comes)."""
         import selectors
 
         env = dict(os.environ, BENCH_DEVICE=device)
@@ -72,10 +76,25 @@ def _orchestrate() -> int:
             env["BENCH_FALLBACK"] = fallback
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)],
-            env=env, stdout=subprocess.PIPE, text=True, bufsize=1,
+            env=env, stdout=subprocess.PIPE, bufsize=0,
         )
+        fd = proc.stdout.fileno()
+        os.set_blocking(fd, False)
         got_json = False
+        buf = b""
         deadline = time.monotonic() + timeout
+
+        def flush_lines(data: bytes) -> None:
+            nonlocal buf, got_json
+            buf += data
+            while b"\n" in buf:
+                line, buf = buf.split(b"\n", 1)
+                text = line.decode("utf-8", "replace") + "\n"
+                if text.startswith("{"):
+                    got_json = True
+                sys.stdout.write(text)
+                sys.stdout.flush()
+
         sel = selectors.DefaultSelector()
         sel.register(proc.stdout, selectors.EVENT_READ)
         try:
@@ -86,17 +105,29 @@ def _orchestrate() -> int:
                     proc.wait()
                     return 124, got_json
                 if sel.select(timeout=min(budget, 5.0)):
-                    line = proc.stdout.readline()
-                    if line == "":
+                    try:
+                        data = os.read(fd, 1 << 16)
+                    except BlockingIOError:
+                        continue
+                    if data == b"":
                         break  # EOF
-                    if line.startswith("{"):
-                        got_json = True
-                    sys.stdout.write(line)
-                    sys.stdout.flush()
+                    flush_lines(data)
                 elif proc.poll() is not None:
                     break
         finally:
             sel.close()
+        # drain whatever remains after EOF/exit (including a final
+        # unterminated fragment)
+        try:
+            while True:
+                data = os.read(fd, 1 << 16)
+                if not data:
+                    break
+                flush_lines(data)
+        except (BlockingIOError, OSError):
+            pass
+        if buf:
+            flush_lines(b"\n")
         rc = proc.wait()
         return rc, got_json
 

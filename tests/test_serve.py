@@ -89,3 +89,88 @@ class TestServe:
         bad = cli._call({"cmd": "process", "shape": [1, 2, 3]}, b"\0" * 6)
         assert not bad["ok"] and "shape" in bad["error"]
         cli.close()
+
+    def test_malformed_requests_get_error_responses(self, service):
+        """Hardening (round-3 verdict weak #6): malformed input yields an
+        error RESPONSE — never a dead handler that leaves the client
+        blocking until its timeout."""
+        import json
+        import struct
+
+        cfg, cam, dp, port, res, batch = service
+        cli = SlamClient(port=port, timeout=20.0)
+        # payload shorter than the declared shape requires
+        r = cli._call({"cmd": "process", "shape": [batch, res, res]}, b"\0" * 10)
+        assert not r["ok"] and "payload" in r["error"], r
+        # payload longer than required
+        n = batch * res * res
+        r = cli._call({"cmd": "process", "shape": [batch, res, res]},
+                      b"\0" * (n + 7))
+        assert not r["ok"] and "payload" in r["error"], r
+        # shape not a list of ints
+        r = cli._call({"cmd": "process", "shape": "big"}, b"")
+        assert not r["ok"] and "shape" in r["error"], r
+        # header not valid JSON -> error response, connection survives
+        from aprilslam_tpu.apps.serve import _send_msg, _recv_msg
+        _send_msg(cli.sock, b"this is not json")
+        _send_msg(cli.sock, b"")
+        r = json.loads(_recv_msg(cli.sock))
+        assert not r["ok"], r
+        # connection still usable after every error above
+        assert cli.ping()["ok"]
+        # oversize header length prefix -> error response, then close
+        cli.sock.sendall(struct.pack(">Q", 1 << 40))
+        r = json.loads(_recv_msg(cli.sock))
+        assert not r["ok"] and "large" in r["error"], r
+        cli.close()
+
+    def test_concurrent_clients_and_reset_under_load(self, service):
+        """N clients hammer process() while another thread resets: every
+        response is well-formed, poses stay finite, and the request count
+        adds up (the state lock serializes map access)."""
+        cfg, cam, dp, port, res, batch = service
+        scene = scene_tensors(cfg)
+        traj = trajectory.scripted_line(batch, np.array([0.0, 0.0, 20.0]),
+                                        np.array([6.0, 2.0, -5.0]))
+        frames = np.asarray(
+            render_frames(scene, jnp.asarray(traj.positions),
+                          jnp.asarray(traj.rotations),
+                          jnp.asarray(cam.inv_matrix), res, res, 2)
+        )
+        frames_u8 = np.clip(frames * 255.0, 0, 255).astype(np.uint8)
+
+        n_clients, n_reqs = 4, 3
+        errors: list = []
+        done = threading.Event()
+
+        def worker():
+            try:
+                c = SlamClient(port=port, timeout=120.0)
+                for _ in range(n_reqs):
+                    rep = c.process(frames_u8)
+                    assert rep["ok"], rep
+                    assert np.isfinite(np.asarray(rep["poses"])).all()
+                c.close()
+            except Exception as e:  # noqa: BLE001 — collected for the assert
+                errors.append(e)
+
+        def resetter():
+            c = SlamClient(port=port, timeout=120.0)
+            while not done.is_set():
+                assert c.reset()["ok"]
+                done.wait(0.05)
+            c.close()
+
+        rt = threading.Thread(target=resetter)
+        rt.start()
+        threads = [threading.Thread(target=worker) for _ in range(n_clients)]
+        base = SlamClient(port=port, timeout=120.0).stats()["requests"]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        done.set()
+        rt.join(timeout=30)
+        assert not errors, errors
+        st = SlamClient(port=port, timeout=120.0).stats()
+        assert st["requests"] >= base + n_clients * n_reqs

@@ -214,13 +214,21 @@ class TestBAChunkSchedule:
         assert rmses["chunk"] < 0.6, rmses
         assert rmses["chunk"] < 2.0 * rmses["frame"] + 0.1, rmses
 
-    def test_chunk_schedule_rejects_pgo(self):
+    def test_chunk_schedule_supports_pgo(self):
+        """Round-3 verdict missing #2: the production (chunk) schedule now
+        carries PGO — minting in the scan, the solve at the chunk
+        boundary. Builds and takes a step without error."""
         from aprilslam_tpu.slam import build_slam_step
 
         cfg = SceneConfig.from_file()
         cam = PinholeCamera.from_fov(256, 256, cfg.fov_y)
-        with pytest.raises(ValueError):
-            build_slam_step(
-                cfg.family, cam, cfg.tag_size_inner, estimator="ba",
-                pgo=True, ba_schedule="chunk",
-            )
+        step, init = build_slam_step(
+            cfg.family, cam, cfg.tag_size_inner, estimator="ba",
+            pgo=True, ba_schedule="chunk",
+        )
+        state = init()
+        assert len(state) == 4  # graph, ba, pgo, taggraph
+        frames = jnp.zeros((2, 256, 256, 3), jnp.float32)
+        state, outs = jax.jit(step)(state, frames)
+        assert outs.poses.shape == (2, 4, 4)
+        assert bool(jnp.isfinite(outs.poses).all())
