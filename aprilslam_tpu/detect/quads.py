@@ -120,14 +120,18 @@ def _compact(ka, kb, x, y, w, max_boundary: int):
     """
     N = ka.shape[0]
     valid = ka < _BIG
-    c = jnp.cumsum(valid.astype(jnp.int32))
-    count = c[-1]
     tgt = jnp.arange(1, max_boundary + 1, dtype=jnp.int32)
     BS = 64
     nb = -(-N // BS)
-    c_pad = jnp.concatenate([c, jnp.full((nb * BS - N,), count, c.dtype)])
-    c_rows = c_pad.reshape(nb, BS)
-    coarse = c_rows[:, -1]  # (nb,) cumsum at block ends
+    # Block-level cumsum ONLY: the elementwise (N,) cumsum this used to
+    # materialize costs a 2 MB write plus 4-byte-per-lane row gathers; the
+    # in-block ordinal is recovered instead from the gathered BOOLEAN
+    # valid rows (1 byte/lane) with an in-register 64-lane cumsum.
+    v_pad = jnp.concatenate([valid, jnp.zeros((nb * BS - N,), bool)])
+    v_rows = v_pad.reshape(nb, BS)
+    blk_cnt = jnp.sum(v_rows, axis=1, dtype=jnp.int32)  # (nb,)
+    coarse = jnp.cumsum(blk_cnt)  # (nb,) valid count at block ends
+    count = coarse[-1]
 
     # Two recursive levels of [row-contiguous gather + lane-wise
     # compare-sum] replace every random-gather bisect: each gathered row
@@ -135,20 +139,28 @@ def _compact(ka, kb, x, y, w, max_boundary: int):
     # gathers plus a tiny 7-step bisect over the ~128-entry top level.
     def row_locate(arr, tgt_v):
         """arr (M,) nondecreasing -> first index with arr >= tgt, via one
-        (64-wide) row gather per query + a small bisect over row ends."""
+        (64-wide) row gather per query + a dense compare-sum over the ~M/64
+        row ends. The compare-sum replaces jnp.searchsorted: the ends array
+        is tiny (~128 entries), so K x 128 vectorized compares are near-free
+        on the VPU, while searchsorted's while-loop lowering serialized and
+        alone cost ~1.4 ms/frame (probe 2026-08-21, /tmp/probe_compact)."""
         M = arr.shape[0]
         nr = -(-M // BS)
         a_pad = jnp.concatenate([arr, jnp.full((nr * BS - M,), arr[-1], arr.dtype)])
         a_rows = a_pad.reshape(nr, BS)
         ends = a_rows[:, -1]
-        r = jnp.searchsorted(ends, tgt_v).astype(jnp.int32)
+        r = jnp.sum((ends[None, :] < tgt_v[:, None]).astype(jnp.int32), axis=-1)
         rows = jnp.take(a_rows, jnp.minimum(r, nr - 1), axis=0)
         pos = jnp.sum((rows < tgt_v[:, None]).astype(jnp.int32), axis=-1)
         return r * BS + pos
 
     blk = row_locate(coarse, tgt)  # block containing the target
-    rows = jnp.take(c_rows, jnp.minimum(blk, nb - 1), axis=0)  # (K, BS)
-    pos = jnp.sum((rows < tgt[:, None]).astype(jnp.int32), axis=-1)
+    blk_c = jnp.minimum(blk, nb - 1)
+    before = jnp.where(blk_c > 0, jnp.take(coarse, blk_c - 1), 0)
+    o = tgt - before  # 1-based ordinal of the target within its block
+    rows = jnp.take(v_rows, blk_c, axis=0)  # (K, BS) bool
+    loc_cum = jnp.cumsum(rows.astype(jnp.int32), axis=1)
+    pos = jnp.sum((loc_cum < o[:, None]).astype(jnp.int32), axis=-1)
     idx = jnp.minimum(blk * BS + pos, N - 1)
     slot = tgt - 1
     live = slot < count

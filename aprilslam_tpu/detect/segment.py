@@ -63,9 +63,12 @@ def connected_components_auto(
     backend = jax.default_backend()
     if backend == "tpu" and pallas_ccl_supported(trinary.shape):
         # The Pallas kernel has no pointer-jumping, so ragged components need
-        # more scan rounds than the XLA path; rounds are nearly free in VMEM
-        # (~0.1 ms per round at 500x500).
-        return connected_components_pallas(trinary, rounds=max(2 * scan_iters, 8))
+        # more scan rounds than the XLA path. Rounds are sequential VMEM
+        # passes (~0.06 ms/frame per round at 500x500, wall-clock probe
+        # 2026-08-21): a quad ring closes in 2, so 2*scan_iters covers
+        # concave noise blobs with margin while letting callers that only
+        # need ring closure (the SLAM pipeline) buy back most of the stage.
+        return connected_components_pallas(trinary, rounds=max(2 * scan_iters, 4))
     return connected_components(trinary, scan_iters, jump_iters)
 
 

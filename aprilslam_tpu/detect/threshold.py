@@ -34,7 +34,11 @@ def to_grayscale(frames: jax.Array) -> jax.Array:
 
 
 def decimate(frames: jax.Array, factor: int) -> jax.Array:
-    """Average-pool by an integer factor (apriltag's quad_decimate)."""
+    """Average-pool by an integer factor (apriltag's quad_decimate).
+
+    reshape-and-mean measures FASTER on v5e than factor^2 strided slices
+    (lane-strided slices defeat vectorization; wall-clock A/B 2026-08-21).
+    """
     if factor == 1:
         return frames
     B, H, W = frames.shape

@@ -174,7 +174,10 @@ def build_slam_step(
             else:
                 graph, ba, pgo_s = scan_state, None, None
             M = graph.capacity
-            ids, T, T_alt, ok, seed, corners = inp
+            if use_ba and not ba_per_frame:
+                ids, T, T_alt, ok, seed, corners, T_pre, r_pre, use_pre = inp
+            else:
+                ids, T, T_alt, ok, seed, corners = inp
             graph = update_graph(graph, ids, T, ok & seed if gate_seeding else ok)
             avg_T, avg_valid, graph = estimate_pose_average(
                 graph, project_rotation=(estimator != "reference_chain")
@@ -248,8 +251,21 @@ def build_slam_step(
 
                 T_wc0 = T_lm @ _se3_inverse(T[c_idx])
                 T_wc0b = T_lm @ _se3_inverse(T_alt[c_idx])
-                T_loc, r_loc = localize(ba.lm_pose, use, T_wc0, T_wc0b, init_joint_iters)
-                T_init = jnp.where(jnp.any(use), T_loc, T_wc0)
+                if ba_per_frame:
+                    T_loc, r_loc = localize(
+                        ba.lm_pose, use, T_wc0, T_wc0b, init_joint_iters)
+                    T_init = jnp.where(jnp.any(use), T_loc, T_wc0)
+                else:
+                    # Chunk schedule: the dual-GN seeding localization ran
+                    # OUTSIDE the scan, vmapped over the whole chunk against
+                    # the previous chunk's map (frames are independent given
+                    # the map, and the map only changes at chunk boundaries)
+                    # — the scan keeps only masked bookkeeping. Frames whose
+                    # visible tags were all seeded THIS chunk fall back to
+                    # the PnP chain through the in-scan candidate (T_wc0),
+                    # exactly the bootstrap path.
+                    T_init = jnp.where(use_pre, T_pre, T_wc0)
+                    r_loc = jnp.where(use_pre, r_pre, jnp.zeros((), frames.dtype))
 
                 # Keyframe policy: adopt the frame while the window has free
                 # slots, or when it can seed a tag the map lacks — but only
@@ -364,10 +380,53 @@ def build_slam_step(
             scan_state = (_g0, _ba0, _pgo0)
         else:
             scan_state = state
-        scan_state, outs = jax.lax.scan(
-            per_frame, scan_state,
-            (det.ids, T_all, T_alt_all, ok_all, seed_all, det.corners),
-        )
+
+        xs = (det.ids, T_all, T_alt_all, ok_all, seed_all, det.corners)
+        if use_ba and not ba_per_frame:
+            # Batched pre-localization against the previous chunk's map:
+            # one vmapped dual-init GN pass (MXU-parallel over frames)
+            # replaces B sequential in-scan solves.
+            _ba_in = scan_state[1]
+            lm_pose0, lm_active0 = _ba_in.lm_pose, _ba_in.lm_active
+            Ml0 = _ba_in.n_landmarks
+            eye40 = jnp.eye(4, dtype=lm_pose0.dtype)
+            BIG0 = jnp.int32(2**30)
+
+            def pre_localize(ids_b, ok_b, seed_b, corners_b, T_b, T_alt_b):
+                corn_m, seen = scatter_frame(ids_b, ok_b, corners_b, Ml0)
+                use = seen & lm_active0
+                idsc = jnp.clip(ids_b, 0, Ml0 - 1)
+                valid_id = (ids_b >= 0) & (ids_b < Ml0)
+                mappable = lm_active0[idsc]
+                cand = ok_b & seed_b & valid_id & mappable
+                cand_loc = ok_b & valid_id & mappable
+                c_idx = jnp.argmin(
+                    jnp.where(cand, ids_b,
+                              jnp.where(cand_loc, ids_b + Ml0, BIG0))
+                )
+                T_lm = jnp.where(
+                    lm_active0[idsc[c_idx]], lm_pose0[idsc[c_idx]], eye40
+                )
+                T0a = T_lm @ _se3_inverse(T_b[c_idx])
+                T0b = T_lm @ _se3_inverse(T_alt_b[c_idx])
+                T_a, r_a = joint_camera_pose(
+                    lm_pose0, use, corn_m, K, tag_size, T0a,
+                    iters=init_joint_iters)
+                T_bb, r_b = joint_camera_pose(
+                    lm_pose0, use, corn_m, K, tag_size, T0b,
+                    iters=init_joint_iters)
+                pick = r_a <= r_b
+                return (
+                    jnp.where(pick, T_a, T_bb),
+                    jnp.where(pick, r_a, r_b).astype(frames.dtype),
+                    jnp.any(use),
+                )
+
+            T_pre_all, r_pre_all, use_pre_all = jax.vmap(pre_localize)(
+                det.ids, ok_all, seed_all, det.corners, T_all, T_alt_all)
+            xs = xs + (T_pre_all, r_pre_all, use_pre_all)
+
+        scan_state, outs = jax.lax.scan(per_frame, scan_state, xs)
 
         if use_ba and not ba_per_frame:
             # Chunk-level mapping pass: one LM-BA solve refines the map for
