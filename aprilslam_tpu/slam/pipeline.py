@@ -28,7 +28,9 @@ from .loop import (
     PgoState, pgo_init, pgo_track_frame, pgo_solve, apply_node_deltas,
     loop_window_open,
 )
-from .taggraph import taggraph_init, taggraph_accumulate, taggraph_solve
+from .taggraph import (
+    taggraph_init, taggraph_accumulate, taggraph_solve, taggraph_support,
+)
 
 Estimator = Literal["reference_chain", "chain_avg", "joint", "ba"]
 
@@ -90,6 +92,7 @@ def build_slam_step(
     pgo_nodes: int = 64,
     pgo_edges: int = 192,
     pgo_loop_gap: int = 24,
+    kf_every: int = 0,
 ):
     """Returns (slam_step, init_state) where
     ``slam_step(state, frames) -> (state, SlamOutputs)`` is jittable and
@@ -148,6 +151,50 @@ def build_slam_step(
 
     dist = None if dist_coeffs is None else jnp.asarray(dist_coeffs)
 
+    def _apply_taggraph(tg, ba, ok_all, ids_all):
+        """Refine the landmark map against the landmark pose graph and
+        conjugate each keyframe rigidly by its dominant observed tag's
+        correction.
+
+        Moving each keyframe WITH the tags it observes keeps its
+        reprojection residuals unchanged, so the next window-BA pass has
+        no gradient pulling the corrected tags back to the drifted
+        geometry they were seeded in (measured: without keyframe
+        co-motion the window acts as a rubber band and cancels the
+        correction within one chunk)."""
+        Ml = ba.n_landmarks
+        Kf = ba.n_keyframes
+        # A tag becomes movable only once the graph holds enough averaged
+        # sightings for its consensus pose to beat the live BA estimate
+        # (early few-sample solves measurably HURT: +0.3 su on lap 1 of
+        # the config-2 bench). Support-gating replaces a visibility hold,
+        # which suppressed refinement exactly when the camera relied on
+        # the tags being corrected.
+        supp = taggraph_support(tg)
+        movable = ba.lm_active & (supp >= 24.0)
+        hold = ba.lm_active & ~movable
+        new_lm, moved = taggraph_solve(
+            tg, ba.lm_pose, ba.lm_active, ba.anchor, hold=hold)
+        eye4 = jnp.eye(4, dtype=ba.lm_pose.dtype)
+        delta_lm = jnp.where(
+            (moved & movable)[:, None, None],
+            jnp.einsum("mij,mjk->mik", new_lm, jax.vmap(_se3_inverse)(ba.lm_pose)),
+            eye4,
+        )
+        # Dominant MOVED tag per keyframe by live observation count.
+        counts = jnp.zeros((Kf, Ml), jnp.float32).at[
+            ba.obs_kf, ba.obs_lm
+        ].add(ba.obs_ok.astype(jnp.float32), mode="drop")
+        cm = counts * movable[None, :].astype(jnp.float32)
+        m_star = jnp.argmax(cm, axis=1)
+        has = (jnp.max(cm, axis=1) > 0) & ba.kf_active & moved
+        kf_delta = jnp.where(has[:, None, None], delta_lm[m_star], eye4)
+        return _replace(
+            ba,
+            lm_pose=new_lm,
+            kf_pose=jnp.einsum("kij,kjl->kil", kf_delta, ba.kf_pose),
+        )
+
     def slam_step(state, frames: jax.Array):
         det = detect(frames)
         if dist is not None:
@@ -175,9 +222,9 @@ def build_slam_step(
                 graph, ba, pgo_s = scan_state, None, None
             M = graph.capacity
             if use_ba and not ba_per_frame:
-                ids, T, T_alt, ok, seed, corners, T_pre, r_pre, use_pre = inp
+                ids, T, T_alt, ok, seed, corners, fidx, T_pre, r_pre, use_pre = inp
             else:
-                ids, T, T_alt, ok, seed, corners = inp
+                ids, T, T_alt, ok, seed, corners, fidx = inp
             graph = update_graph(graph, ids, T, ok & seed if gate_seeding else ok)
             avg_T, avg_valid, graph = estimate_pose_average(
                 graph, project_rotation=(estimator != "reference_chain")
@@ -272,7 +319,15 @@ def build_slam_step(
                 # if its own pose is reliably anchored (has_cand).
                 seed_new = ok & seed & valid_id & ~ba.lm_active[idsc]
                 window_free = jnp.sum(ba.kf_active) < ba.n_keyframes
-                is_kf = has_cand & (jnp.any(seed_new) | window_free)
+                # Cadence-driven turnover makes the window genuinely
+                # FIXED-LAG: without it, adoption stops once the ring
+                # fills and the whole run's observations stay live
+                # forever — the window then acts as a rubber band pulling
+                # every landmark back to the drifted geometry it was
+                # seeded in (measured: it cancelled the landmark
+                # pose-graph correction exactly).
+                cadence = (fidx % kf_every == 0) if kf_every > 0 else False
+                is_kf = has_cand & (jnp.any(seed_new) | window_free | cadence)
 
                 kf_slot = ba.kf_ptr % ba.n_keyframes  # slot the keyframe lands in
                 ba_kf = ba_add_frame(ba, ids, corners, ok, T_init, T, seed_ok=ok & seed)
@@ -381,7 +436,8 @@ def build_slam_step(
         else:
             scan_state = state
 
-        xs = (det.ids, T_all, T_alt_all, ok_all, seed_all, det.corners)
+        xs = (det.ids, T_all, T_alt_all, ok_all, seed_all, det.corners,
+              jnp.arange(frames.shape[0], dtype=jnp.int32))
         if use_ba and not ba_per_frame:
             # Batched pre-localization against the previous chunk's map:
             # one vmapped dual-init GN pass (MXU-parallel over frames)
@@ -462,14 +518,13 @@ def build_slam_step(
                 # Landmark pose graph: accumulate this chunk's co-visible
                 # detection pairs (batched — outside the scan) and refine
                 # the landmark map against the averaged relative-pose
-                # graph, gauge-fixed at the anchor.
+                # graph, gauge-fixed at the anchor. Tags visible in THIS
+                # chunk are HELD — the live BA/localization estimate is
+                # better than an early few-sample graph mean, and holding
+                # them makes the currently-tracked neighbourhood the
+                # consistency anchor that pulls the out-of-view tags.
                 tg = taggraph_accumulate(tg, det.ids, T_all, ok_all & seed_all)
-                ba = _replace(
-                    ba,
-                    lm_pose=taggraph_solve(
-                        tg, ba.lm_pose, ba.lm_active, ba.anchor
-                    ),
-                )
+                ba = _apply_taggraph(tg, ba, ok_all, det.ids)
                 state = (graph, ba, pgo_s, tg)
             else:
                 state = (graph, ba)
@@ -510,13 +565,11 @@ def build_slam_step(
         elif use_pgo:
             # Frame schedule: the camera pose-graph solve already ran
             # inline; fold the chunk's detections into the landmark pose
-            # graph and refine the map once per chunk.
+            # graph and refine the map once per chunk (currently visible
+            # tags held, as in the chunk schedule).
             graph, ba, pgo_s = scan_state
             tg = taggraph_accumulate(tg, det.ids, T_all, ok_all & seed_all)
-            ba = _replace(
-                ba,
-                lm_pose=taggraph_solve(tg, ba.lm_pose, ba.lm_active, ba.anchor),
-            )
+            ba = _apply_taggraph(tg, ba, ok_all, det.ids)
             state = (graph, ba, pgo_s, tg)
         else:
             state = scan_state
@@ -562,6 +615,7 @@ class SlamSystem:
         ba_schedule: Literal["frame", "chunk"] = "frame",
         ba_chunk_iters: int | None = None,
         init_joint_iters: int | None = None,
+        kf_every: int = 0,
     ):
         self._step, self._init = build_slam_step(
             family, camera, tag_size,
@@ -576,6 +630,7 @@ class SlamSystem:
             ba_schedule=ba_schedule,
             ba_chunk_iters=ba_chunk_iters,
             init_joint_iters=init_joint_iters,
+            kf_every=kf_every,
         )
         self._step = jax.jit(self._step)
         self.state = self._init()

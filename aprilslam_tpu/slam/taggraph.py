@@ -174,7 +174,7 @@ def taggraph_accumulate(
 
 def taggraph_edges(
     tg: TagGraphState, lm_active: jax.Array, max_edges: int = 128,
-    min_count: float = 2.0,
+    min_count: float = 3.0,
 ) -> PoseGraphEdges:
     """Top-``max_edges`` pairs by count as pose-graph edges.
 
@@ -206,11 +206,17 @@ def taggraph_edges(
     )
 
 
+def taggraph_support(tg: TagGraphState) -> jax.Array:
+    """(M,) total accepted pair sightings incident to each tag."""
+    return tg.count.sum(axis=0) + tg.count.sum(axis=1)
+
+
 def taggraph_solve(
     tg: TagGraphState,
     lm_pose: jax.Array,  # (M, 4, 4) current landmark world poses
     lm_active: jax.Array,  # (M,) bool
     anchor: jax.Array,  # () int32 gauge tag slot (-1 = none yet)
+    hold: jax.Array | None = None,  # (M,) bool: tags NOT to move
     iters: int = 6,
     max_edges: int = 128,
     rot_weight: float = 25.0,
@@ -223,15 +229,29 @@ def taggraph_solve(
     graph support keep their poses (zero gradient + damping = zero step).
     No-op (returns ``lm_pose``) until the anchor exists and at least one
     averaged edge is available.
+
+    ``hold`` marks tags whose poses must not move — the caller passes the
+    tags currently in view: while a tag is being observed, the live
+    BA/localization estimate is better than an early few-sample graph
+    mean (measured: solving in-view tags cost 0.3 su of pose error on
+    lap 1 of the config-2 bench), and the held tags double as
+    consistency anchors that pull the FROZEN (out-of-view) tags — the
+    ones the window can no longer fix — onto the averaged geometry.
+
+    Returns ``(new_lm_pose, moved)`` where ``moved`` is () bool: whether
+    a solve ran at all (callers gate keyframe conjugation on it so the
+    no-op path applies the EXACT identity — cf. the round-2 lesson on
+    T @ inv(T) float residue feedback).
     """
     edges = taggraph_edges(tg, lm_active, max_edges=max_edges)
-    have = jnp.any(edges.ok) & (anchor >= 0)
+    movable = lm_active if hold is None else (lm_active & ~hold)
+    have = jnp.any(edges.ok) & (anchor >= 0) & jnp.any(movable)
 
     def run(poses):
         return pgo_optimize(
-            poses, edges, active=lm_active, iters=iters,
+            poses, edges, active=movable, iters=iters,
             rot_weight=rot_weight,
             gauge_index=jnp.clip(anchor, 0, tg.capacity - 1),
         )
 
-    return jax.lax.cond(have, run, lambda p: p, lm_pose)
+    return jax.lax.cond(have, run, lambda p: p, lm_pose), have

@@ -385,7 +385,7 @@ def bench_pgo_leg(base_cfg_raw, params, res, batch):
     return out
 
 
-def bench_multiseq_leg(cfg, params, res, n_seq=8, batch=4):
+def bench_multiseq_leg(cfg, params, res, n_seq=8, batch=8):
     """BASELINE config 3: N independent trajectories vmapped over a
     sequence axis on ONE chip (cross-chip scaling is the dryrun/shard_map
     path, parallel/sequences.py)."""
@@ -627,8 +627,26 @@ def main():
     # ---- Extras, each gated on remaining wall-clock budget. ----
     extras_skipped: list[str] = []
 
-    # BASELINE config 2 first: it is the round-4 ask (a TPU number for
-    # loop closure in the production path).
+    if do_stages:
+        _log("stage breakdown (prefix ablation)")
+        if _remaining() > 45.0:
+            ms, stage_skipped = stage_breakdown(cfg, chunks[0], params,
+                                                full_ms_per_frame=1e3 / fps)
+            result["stage_ms_per_frame"] = {k: round(v, 3) for k, v in ms.items()}
+            if stage_skipped:
+                extras_skipped.extend(f"stage_{s}" for s in stage_skipped)
+            _emit(result)
+        else:
+            extras_skipped.append("stage_breakdown")
+
+    # The headline chunks (~2 GB at 512 distinct frames) are only needed
+    # by the breakdown above — release them before the remaining legs
+    # render their own frames (device memory pressure measurably slowed
+    # the first-cut breakdown when it ran last).
+    chunks = None
+
+    # BASELINE config 2: a TPU number for loop closure in the production
+    # path (round-4 ask #2).
     if do_pgo:
         if _remaining() > 100.0:
             try:
@@ -684,18 +702,6 @@ def main():
             sweep[str(Bs)] = round(n_pass * Bs / (time.perf_counter() - t0), 2)
             _emit({**result, "batch_sweep_fps": sweep})
         result["batch_sweep_fps"] = sweep
-
-    if do_stages:
-        _log("stage breakdown (prefix ablation)")
-        if _remaining() > 45.0:
-            ms, stage_skipped = stage_breakdown(cfg, chunks[0], params,
-                                                full_ms_per_frame=1e3 / fps)
-            result["stage_ms_per_frame"] = {k: round(v, 3) for k, v in ms.items()}
-            if stage_skipped:
-                extras_skipped.extend(f"stage_{s}" for s in stage_skipped)
-            _emit(result)
-        else:
-            extras_skipped.append("stage_breakdown")
 
     if do_multiseq:
         if _remaining() > 75.0:

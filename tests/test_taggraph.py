@@ -137,8 +137,10 @@ class TestSolve:
             gt = np.einsum("ij,tjk->tik", np.linalg.inv(Tw[0]), Tw)
             return np.linalg.norm(rel[:, :3, 3] - gt[:, :3, 3], axis=-1)
 
-        new = np.asarray(taggraph_solve(
-            tg, jnp.asarray(lm), jnp.asarray(act), jnp.int32(0), iters=8))
+        new, moved = taggraph_solve(
+            tg, jnp.asarray(lm), jnp.asarray(act), jnp.int32(0), iters=8)
+        assert bool(moved)
+        new = np.asarray(new)
         e0, e1 = relerr(lm), relerr(new)
         assert e1.mean() < 0.5 * e0.mean() + 1e-3, (e0, e1)
         # anchor pinned exactly (gauge unchanged)
@@ -151,7 +153,8 @@ class TestSolve:
         tg = taggraph_init(M)
         lm = jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (M, 1, 1)))
         act = jnp.ones((M,), bool)
-        out = taggraph_solve(tg, lm, act, jnp.int32(0))
+        out, moved = taggraph_solve(tg, lm, act, jnp.int32(0))
+        assert not bool(moved)
         np.testing.assert_allclose(np.asarray(out), np.asarray(lm))
         # edges exist but anchor unknown -> still a no-op
         Tw = _chain_world(2)
@@ -160,5 +163,6 @@ class TestSolve:
         ids_l, T_l, r_l = map(np.stack, zip(*frames))
         tg = taggraph_accumulate(
             tg, jnp.asarray(ids_l), jnp.asarray(T_l), jnp.asarray(r_l))
-        out = taggraph_solve(tg, lm, act, jnp.int32(-1))
+        out, moved = taggraph_solve(tg, lm, act, jnp.int32(-1))
+        assert not bool(moved)
         np.testing.assert_allclose(np.asarray(out), np.asarray(lm))
