@@ -212,17 +212,19 @@ def _emit(result: dict) -> None:
 
 
 def _time_fn(fn, args, reps, warmup=2):
-    """Median wall time of fn(*args) with block_until_ready, in seconds."""
+    """Mean wall time of fn(*args), PIPELINED: enqueue all reps, block
+    once. Blocking per call would measure the tunnel round-trip latency
+    (~2-30 ms depending on backend state) instead of device throughput —
+    the first-cut stage breakdown was floored exactly that way."""
     import jax
 
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
-    ts = []
+    t0 = time.perf_counter()
     for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
 
 
 def stage_breakdown(cfg, frames, params, full_ms_per_frame, reps=8,
@@ -360,7 +362,7 @@ def bench_pgo_leg(base_cfg_raw, params, res, batch):
         step, init = build_slam_step(
             cfg.family, cam, cfg.tag_size_inner, detector_params=params,
             estimator="ba", ba_schedule="chunk", init_joint_iters=3,
-            ba_chunk_iters=8, pnp_iters=5, pgo=pgo,
+            ba_chunk_iters=4, pnp_iters=3, pgo=pgo,
         )
         step = jax.jit(step)
         state = init()
@@ -414,7 +416,7 @@ def bench_multiseq_leg(cfg, params, res, n_seq=8, batch=8):
     step, init = build_slam_step(
         cfg.family, cam, cfg.tag_size_inner, detector_params=params,
         estimator="ba", ba_schedule="chunk", init_joint_iters=3,
-        ba_chunk_iters=8, pnp_iters=5,
+        ba_chunk_iters=4, pnp_iters=3,
     )
     step_v = jax.jit(jax.vmap(step))
     states = jax.tree.map(lambda *xs: jnp.stack(xs), *[init() for _ in range(n_seq)])
@@ -550,25 +552,53 @@ def main():
         ba_schedule=os.environ.get("BENCH_BA_SCHEDULE", "chunk"),
         # In-scan localization only seeds keyframe insertion under the
         # chunk schedule (the reported pose comes from the post-scan
-        # batched re-localization at full depth); 8 chunk-LM iterations
-        # match 16 on ATE. Both verified ATE-neutral on the accuracy pass.
+        # batched re-localization at full depth). Iteration budgets from
+        # the round-4 TPU knob probe (96-frame accuracy pass): 4 chunk-LM
+        # iterations and 3 PnP iterations cost +0.007 su ATE vs 8/5 and
+        # buy +9% fps (238 -> 260).
         init_joint_iters=3,
-        ba_chunk_iters=8,
-        # PnP only seeds the joint/BA refinement in this pipeline; 5 LM
-        # iterations match 8 on ATE (0.2427 both, accuracy pass).
-        pnp_iters=5,
+        ba_chunk_iters=4,
+        pnp_iters=3,
     )
     # NOTE: no donate_argnums — buffer donation trips an INVALID_ARGUMENT in
     # the axon TPU backend (verified empirically; works fine without).
     step = jax.jit(step)
 
-    # Pre-render all frame chunks on device (the harness, not the benchmark).
-    _log("rendering chunks (render compile)")
-    chunks = [
-        render_frames(scene, pos[i * B : (i + 1) * B], rot[i * B : (i + 1) * B], K_inv, H, W, 2)
-        for i in range(n_chunks)
-    ]
-    jax.block_until_ready(chunks)
+    # Pre-render all frame chunks (the harness, not the benchmark). The 512
+    # distinct frames cost ~80 s of render execution — cached to disk as
+    # uint8 (the pipeline's native camera dtype) so a warm invocation
+    # reaches the timed loop without re-rendering. Cache key covers every
+    # input that shapes the frames.
+    frame_cache = os.environ.get(
+        "BENCH_FRAME_CACHE",
+        f"/tmp/aprilslam_bench_frames_v1_{W}x{H}_B{B}_c{n_chunks}_s3.npy",
+    )
+    loaded = False
+    if frame_cache and os.path.exists(frame_cache):
+        try:
+            arr = np.load(frame_cache)
+            if arr.shape == (n_chunks, B, H, W):
+                _log(f"loading pre-rendered chunks from {frame_cache}")
+                chunks = [jax.device_put(arr[i]) for i in range(n_chunks)]
+                jax.block_until_ready(chunks)
+                loaded = True
+        except Exception as e:  # noqa: BLE001 — cache is best-effort
+            _log(f"frame cache load failed ({e}); re-rendering")
+    if not loaded:
+        _log("rendering chunks (render compile)")
+        chunks = [
+            jnp.clip(render_frames(
+                scene, pos[i * B : (i + 1) * B], rot[i * B : (i + 1) * B],
+                K_inv, H, W, 2) * 255.0, 0, 255).astype(jnp.uint8)
+            for i in range(n_chunks)
+        ]
+        jax.block_until_ready(chunks)
+        if frame_cache:
+            try:
+                np.save(frame_cache, np.stack([np.asarray(c) for c in chunks]))
+                _log(f"saved frame cache to {frame_cache}")
+            except OSError as e:
+                _log(f"frame cache save failed: {e}")
     _log("chunks ready; compiling slam step")
 
     # Warmup / compile.
