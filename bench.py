@@ -529,8 +529,12 @@ def main():
     scene = scene_tensors(cfg)
     # max_detections 16 = 3x headroom over the 5-tag scene; halves the
     # (mostly padding) per-detection PnP work. ATE-verified neutral.
+    # max_boundary 8192 = ~2x headroom over the measured worst case (4.5k
+    # boundary points at sigma=0.10 noise; probe 2026-08-21) — compaction
+    # targets and the cluster sort shrink 2x vs the conservative library
+    # default of 16384.
     params = DetectorParams(quad_decimate=2, min_cluster_pts=12,
-                            max_detections=16)
+                            max_detections=16, max_boundary=8192)
 
     traj = trajectory.monte_carlo(B * n_chunks, seed=3)
     pos = jnp.asarray(traj.positions)
