@@ -533,6 +533,12 @@ def main():
     # boundary points at sigma=0.10 noise; probe 2026-08-21) — compaction
     # targets and the cluster sort shrink 2x vs the conservative library
     # default of 16384.
+    # CCL rounds stay at the default 8 (the Pallas kernel is ~1.2 ms/frame
+    # of the 3.3 ms step): 6 rounds looked safe on Monte-Carlo poses
+    # (identical detections down to rounds=5) but LOST detections on the
+    # config-2 loop trajectory's long-range oblique views — config-2 ATE
+    # jumped 0.75 -> 1.25 for BOTH pgo modes. Measured 2026-08-21; do not
+    # trade this one without a long-range recall check.
     params = DetectorParams(quad_decimate=2, min_cluster_pts=12,
                             max_detections=16, max_boundary=8192)
 
