@@ -177,6 +177,38 @@ class TestBAChunkSchedule:
     """ba_schedule='chunk' hoists the LM-BA solve out of the per-frame scan
     (the TPU latency optimization); accuracy must stay in the same regime."""
 
+    def test_kf_cadence_turns_the_window_over(self):
+        """kf_every > 0 makes the window genuinely fixed-lag: keyframes
+        keep being adopted after the ring fills (without it, adoption
+        stops once the window is full and the whole run's observations
+        stay live forever)."""
+        cfg = SceneConfig.from_file()
+        cam = PinholeCamera.from_fov(384, 384, cfg.fov_y)
+        scene = scene_tensors(cfg)
+        traj = trajectory.scripted_line(
+            24, np.array([0.0, 0.0, 20.0]), np.array([6.0, 2.0, -8.0])
+        )
+        frames = render_frames(
+            scene, jnp.asarray(traj.positions), jnp.asarray(traj.rotations),
+            jnp.asarray(cam.inv_matrix), 384, 384, 2)
+
+        ptrs = {}
+        for kf_every in (0, 2):
+            slam = SlamSystem(
+                cam, cfg.family, cfg.tag_size_inner, estimator="ba",
+                ba_schedule="chunk", kf_every=kf_every,
+            )
+            for i in range(0, 24, 8):
+                outs = slam.process(frames[i:i + 8])
+            assert bool(np.isfinite(np.asarray(outs.poses)).all())
+            ptrs[kf_every] = int(slam.ba_state.kf_ptr)
+        n_kf = slam.ba_state.n_keyframes
+        # default policy: adoption saturates at/near the window size
+        assert ptrs[0] <= n_kf + 2, ptrs
+        # cadence: at least one adoption every 2 frames -> the ring recycles
+        assert ptrs[2] >= 24 // 2, ptrs
+        assert ptrs[2] > ptrs[0], ptrs
+
     def test_chunk_schedule_accuracy(self):
         cfg = SceneConfig.from_file()
         cam = PinholeCamera.from_fov(512, 512, cfg.fov_y)
