@@ -1,5 +1,13 @@
 """Wall-clock ablation of the bench pipeline on the real chip.
 
+MEASUREMENT HAZARD (discovered 2026-08-21, see docs/PERFORMANCE.md):
+the tunnelled backend serves repeated executions with identical
+(program, input contents) from a result cache, so the fixed-input STAGE
+rows below can under-report arbitrarily. The `step` row is trustworthy
+(its state threads through every call, so input contents always
+change); for stage attribution use the chained-token/never-reused-input
+recipe documented in docs/PERFORMANCE.md instead.
+
 The tunnel's xplane trace appears to carry cost-model (deterministic)
 op times, so this measures REAL steady-state wall clock for nested
 prefixes of the pipeline, each in its own jit, averaged over enough reps
