@@ -64,11 +64,17 @@ def connected_components_auto(
     if backend == "tpu" and pallas_ccl_supported(trinary.shape):
         # The Pallas kernel has no pointer-jumping, so ragged components need
         # more scan rounds than the XLA path. Rounds are sequential VMEM
-        # passes (~0.06 ms/frame per round at 500x500, wall-clock probe
-        # 2026-08-21): a quad ring closes in 2, so 2*scan_iters covers
-        # concave noise blobs with margin while letting callers that only
-        # need ring closure (the SLAM pipeline) buy back most of the stage.
-        return connected_components_pallas(trinary, rounds=max(2 * scan_iters, 4))
+        # passes: a quad ring closes in 2, so 2*scan_iters covers concave
+        # noise blobs with margin. FEWER rounds provably costs long-range
+        # recall (rounds=6 lost oblique tags on the config-2 loop
+        # trajectory), but capping the per-pass DOUBLING DEPTH at 7
+        # (distance 127/pass) is detection-identical on both the
+        # Monte-Carlo and loop-trajectory pools (probe 2026-08-21) at 22%
+        # fewer sequential steps — as long as rounds x 127 still spans the
+        # frame, which the guard checks.
+        rounds = max(2 * scan_iters, 4)
+        cap = 7 if rounds * 127 >= max(trinary.shape[1], trinary.shape[2]) else 0
+        return connected_components_pallas(trinary, rounds=rounds, step_cap=cap)
     return connected_components(trinary, scan_iters, jump_iters)
 
 

@@ -38,7 +38,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _ccl_kernel(rounds: int, trin_ref, out_ref):
+def _ccl_kernel(rounds: int, step_cap: int, trin_ref, out_ref):
     trin = trin_ref[0]  # (H, W) int32: 0 black, 1 white, -1 unknown
     H, W = trin.shape
     big = jnp.int32(H * W)
@@ -72,6 +72,12 @@ def _ccl_kernel(rounds: int, trin_ref, out_ref):
             zero,
         )
         n_steps = max(1, (size - 1).bit_length())  # d = 1, 2, ..., >= size/2
+        if step_cap:
+            # Cap the per-pass propagation distance to 2^step_cap - 1: with
+            # R rounds the total straight-line reach is R * (2^cap - 1), so
+            # a cap that still spans the frame across the round budget cuts
+            # sequential VMEM steps without shrinking coverage.
+            n_steps = min(n_steps, step_cap)
 
         def step(i, carry):
             lab, reach = carry
@@ -96,11 +102,12 @@ def _ccl_kernel(rounds: int, trin_ref, out_ref):
     out_ref[0] = jnp.where(known, lab, big)
 
 
-@partial(jax.jit, static_argnames=("rounds", "interpret"))
+@partial(jax.jit, static_argnames=("rounds", "interpret", "step_cap"))
 def connected_components_pallas(
     trinary: jax.Array,  # (B, H, W) int8/int32: 0 black, 1 white, -1 unknown
     rounds: int = 4,
     interpret: bool = False,
+    step_cap: int = 0,
 ) -> jax.Array:
     """Label same-colour connected regions. Returns (B, H, W) int32 labels:
     min linear index of the component per pixel, sentinel H*W for unknown.
@@ -115,7 +122,7 @@ def connected_components_pallas(
         t = jnp.pad(t, ((0, 0), (0, Hp - H), (0, Wp - W)), constant_values=-1)
 
     labels = pl.pallas_call(
-        partial(_ccl_kernel, rounds),
+        partial(_ccl_kernel, rounds, step_cap),
         out_shape=jax.ShapeDtypeStruct((B, Hp, Wp), jnp.int32),
         grid=(B,),
         in_specs=[
