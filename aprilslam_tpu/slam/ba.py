@@ -42,7 +42,7 @@ from ..geometry import se3_exp, se3_inverse, tag_object_corners
         "kf_pose", "kf_active", "kf_ptr",
         "lm_pose", "lm_active",
         "obs_kf", "obs_lm", "obs_uv", "obs_ok", "obs_ptr",
-        "anchor", "lam",
+        "anchor", "lam", "frame_count",
     ],
     meta_fields=[],
 )
@@ -60,6 +60,11 @@ class BAState:
     obs_ptr: jax.Array  # () int32
     anchor: jax.Array  # () int32 gauge landmark slot (-1 = none yet)
     lam: jax.Array  # () LM damping, persisted across incremental calls
+    # Total frames processed (not keyframes adopted). Keyframe cadence
+    # (pipeline kf_every) must be driven by a PERSISTENT counter: a
+    # chunk-local scan index resets its phase at every chunk boundary, so
+    # kf_every > chunk length degenerates to one adoption per chunk.
+    frame_count: jax.Array  # () int32
 
     @property
     def n_keyframes(self) -> int:
@@ -91,6 +96,7 @@ def ba_init(n_keyframes: int = 16, n_landmarks: int = 64, n_obs: int = 512,
         obs_ptr=jnp.int32(0),
         anchor=jnp.int32(-1),
         lam=jnp.asarray(1e-2, dtype),
+        frame_count=jnp.int32(0),
     )
 
 

@@ -151,7 +151,7 @@ def build_slam_step(
 
     dist = None if dist_coeffs is None else jnp.asarray(dist_coeffs)
 
-    def _apply_taggraph(tg, ba, ok_all, ids_all):
+    def _apply_taggraph(tg, ba):
         """Refine the landmark map against the landmark pose graph and
         conjugate each keyframe rigidly by its dominant observed tag's
         correction.
@@ -222,14 +222,16 @@ def build_slam_step(
                 graph, ba, pgo_s = scan_state, None, None
             M = graph.capacity
             if use_ba and not ba_per_frame:
-                ids, T, T_alt, ok, seed, corners, fidx, T_pre, r_pre, use_pre = inp
+                ids, T, T_alt, ok, seed, corners, T_pre, r_pre, use_pre = inp
             else:
-                ids, T, T_alt, ok, seed, corners, fidx = inp
+                ids, T, T_alt, ok, seed, corners = inp
             graph = update_graph(graph, ids, T, ok & seed if gate_seeding else ok)
             avg_T, avg_valid, graph = estimate_pose_average(
                 graph, project_rotation=(estimator != "reference_chain")
             )
-            rms = jnp.zeros((), frames.dtype)
+            # rms is ALWAYS float32: casting to frames.dtype truncated it to
+            # 0-255 integers for uint8 camera frames (the serve/bench path).
+            rms = jnp.zeros((), jnp.float32)
             pose = avg_T
             if estimator == "joint":
                 corn_m, seen = scatter_frame(ids, ok, corners, M)
@@ -312,7 +314,7 @@ def build_slam_step(
                     # the PnP chain through the in-scan candidate (T_wc0),
                     # exactly the bootstrap path.
                     T_init = jnp.where(use_pre, T_pre, T_wc0)
-                    r_loc = jnp.where(use_pre, r_pre, jnp.zeros((), frames.dtype))
+                    r_loc = jnp.where(use_pre, r_pre, jnp.zeros((), jnp.float32))
 
                 # Keyframe policy: adopt the frame while the window has free
                 # slots, or when it can seed a tag the map lacks — but only
@@ -326,7 +328,10 @@ def build_slam_step(
                 # every landmark back to the drifted geometry it was
                 # seeded in (measured: it cancelled the landmark
                 # pose-graph correction exactly).
-                cadence = (fidx % kf_every == 0) if kf_every > 0 else False
+                # Cadence phase comes from the PERSISTENT frame counter —
+                # a chunk-local index would reset at every chunk boundary
+                # and degenerate kf_every > B to one adoption per chunk.
+                cadence = (ba.frame_count % kf_every == 0) if kf_every > 0 else False
                 is_kf = has_cand & (jnp.any(seed_new) | window_free | cadence)
 
                 kf_slot = ba.kf_ptr % ba.n_keyframes  # slot the keyframe lands in
@@ -336,6 +341,7 @@ def build_slam_step(
                 ba = jax.tree.map(
                     lambda a, b: jnp.where(is_kf, a, b), ba_kf, ba
                 )
+                ba = _replace(ba, frame_count=ba.frame_count + 1)
 
                 # Re-localize against the (possibly refreshed) map, and
                 # report in the GRAPH's coordinate frame (lowest id ever
@@ -436,8 +442,7 @@ def build_slam_step(
         else:
             scan_state = state
 
-        xs = (det.ids, T_all, T_alt_all, ok_all, seed_all, det.corners,
-              jnp.arange(frames.shape[0], dtype=jnp.int32))
+        xs = (det.ids, T_all, T_alt_all, ok_all, seed_all, det.corners)
         if use_ba and not ba_per_frame:
             # Batched pre-localization against the previous chunk's map:
             # one vmapped dual-init GN pass (MXU-parallel over frames)
@@ -474,7 +479,7 @@ def build_slam_step(
                 pick = r_a <= r_b
                 return (
                     jnp.where(pick, T_a, T_bb),
-                    jnp.where(pick, r_a, r_b).astype(frames.dtype),
+                    jnp.where(pick, r_a, r_b).astype(jnp.float32),
                     jnp.any(use),
                 )
 
@@ -518,13 +523,13 @@ def build_slam_step(
                 # Landmark pose graph: accumulate this chunk's co-visible
                 # detection pairs (batched — outside the scan) and refine
                 # the landmark map against the averaged relative-pose
-                # graph, gauge-fixed at the anchor. Tags visible in THIS
-                # chunk are HELD — the live BA/localization estimate is
-                # better than an early few-sample graph mean, and holding
-                # them makes the currently-tracked neighbourhood the
-                # consistency anchor that pulls the out-of-view tags.
+                # graph, gauge-fixed at the anchor. Tags with fewer than
+                # 24 accumulated pair sightings are HELD (support gate in
+                # _apply_taggraph) — the live BA/localization estimate
+                # beats an early few-sample graph mean, and held tags
+                # double as consistency anchors pulling the rest.
                 tg = taggraph_accumulate(tg, det.ids, T_all, ok_all & seed_all)
-                ba = _apply_taggraph(tg, ba, ok_all, det.ids)
+                ba = _apply_taggraph(tg, ba)
                 state = (graph, ba, pgo_s, tg)
             else:
                 state = (graph, ba)
@@ -565,8 +570,8 @@ def build_slam_step(
         elif use_pgo:
             # Frame schedule: the camera pose-graph solve already ran
             # inline; fold the chunk's detections into the landmark pose
-            # graph and refine the map once per chunk (currently visible
-            # tags held, as in the chunk schedule).
+            # graph and refine the map once per chunk (low-support tags
+            # held, as in the chunk schedule).
             graph, ba, pgo_s = scan_state
             tg = taggraph_accumulate(tg, det.ids, T_all, ok_all & seed_all)
             ba = _apply_taggraph(tg, ba, ok_all, det.ids)

@@ -220,10 +220,14 @@ def taggraph_solve(
     iters: int = 6,
     max_edges: int = 128,
     rot_weight: float = 25.0,
-) -> jax.Array:
+) -> tuple[jax.Array, jax.Array]:
     """Refine landmark poses against the averaged co-visibility graph.
 
-    Returns new (M, 4, 4) poses in the SAME floating world gauge: the
+    Returns ``(new_lm_pose, moved)``: new (M, 4, 4) poses in the SAME
+    floating world gauge, plus a () bool flag saying whether a solve ran
+    at all (callers gate keyframe conjugation on it so the no-op path
+    applies the EXACT identity — cf. the round-2 lesson on T @ inv(T)
+    float residue feedback). The
     anchor tag is pinned where it currently sits, so anchor-relative
     consumers see only the relative-geometry correction. Tags without
     graph support keep their poses (zero gradient + damping = zero step).
@@ -237,11 +241,6 @@ def taggraph_solve(
     lap 1 of the config-2 bench), and the held tags double as
     consistency anchors that pull the FROZEN (out-of-view) tags — the
     ones the window can no longer fix — onto the averaged geometry.
-
-    Returns ``(new_lm_pose, moved)`` where ``moved`` is () bool: whether
-    a solve ran at all (callers gate keyframe conjugation on it so the
-    no-op path applies the EXACT identity — cf. the round-2 lesson on
-    T @ inv(T) float residue feedback).
     """
     edges = taggraph_edges(tg, lm_active, max_edges=max_edges)
     movable = lm_active if hold is None else (lm_active & ~hold)
