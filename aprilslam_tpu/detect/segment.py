@@ -67,12 +67,16 @@ def connected_components_auto(
         # passes: a quad ring closes in 2, so 2*scan_iters covers concave
         # noise blobs with margin. FEWER rounds provably costs long-range
         # recall (rounds=6 lost oblique tags on the config-2 loop
-        # trajectory), but capping the per-pass DOUBLING DEPTH at 7
-        # (distance 127/pass) is detection-identical on both the
-        # Monte-Carlo and loop-trajectory pools (probe 2026-08-21) at 22%
-        # fewer sequential steps — as long as rounds x 127 still spans the
-        # frame, which the guard checks.
-        rounds = max(2 * scan_iters, 4)
+        # trajectory; ATE 0.75 -> 1.25) — the floor stays at 8. Mixed
+        # per-round depth schedules were probed 2026-08-21 (round 5) and
+        # REJECTED: every step-cutting schedule (alternating 7/3, full x6)
+        # left ~1-2% of label pixels unconverged, which moves detected
+        # corners by up to 8 px (cluster keys include the background
+        # component's label). The round-5 win is structural instead: the
+        # kernel precomputes static run-extent planes so each relaxation
+        # step costs ONE roll, not two (ops/ccl_pallas.py) — measured
+        # 0.93 -> 0.70 ms/frame at exact label parity.
+        rounds = max(2 * scan_iters, 8)
         cap = 7 if rounds * 127 >= max(trinary.shape[1], trinary.shape[2]) else 0
         return connected_components_pallas(trinary, rounds=rounds, step_cap=cap)
     return connected_components(trinary, scan_iters, jump_iters)

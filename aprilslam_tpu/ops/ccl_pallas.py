@@ -10,14 +10,33 @@ This kernel keeps one frame's labels in VMEM for the ENTIRE relaxation:
 
 * labels are linear pixel indices; unknown pixels hold a sentinel,
 * a segmented Hillis-Steele pass propagates the run-minimum along rows
-  (distance-doubling shifts with a connectivity mask that doubles with the
-  distance — O(log W) elementwise VMEM steps, both directions at once),
+  (distance-doubling shifts masked by precomputed run extents — O(log W)
+  elementwise VMEM steps, both directions),
 * alternating row and column passes for ``rounds`` iterations connects
   components of arbitrary rectilinear shape (a quad ring closes in 2).
 
-All shifts are ``pltpu.roll`` + an index mask (no gathers, no HBM traffic
-between steps). Grid = one program per frame; each program owns a
-(1, H, W) block in VMEM.
+Two structural optimizations over the naive doubling relaxation (round-5):
+
+1. **Static run-extent planes.** The connectivity condition for a distance-d
+   propagation ("every pixel in the span is the same colour") depends only
+   on the trinary image, which never changes across rounds. One doubling
+   pass per direction precomputes ``dist[i] = min(run length behind i,
+   2^K)`` up front; every relaxation step then needs ONE roll (labels) plus
+   an elementwise compare, instead of rolling and squaring a live ``reach``
+   mask alongside — halving the steady-state VMEM op count.
+2. **Mixed step-cap schedule.** Long-range label travel along OBLIQUE tag
+   borders is limited by the staircase run length (a handful of pixels),
+   not by the per-pass doubling depth — deep doubling only pays off on long
+   straight runs (frontal tag edges, the background component). Alternating
+   full-depth rounds with cheap cap-3 rounds keeps the alternation count
+   (what staircases need) and the straight-line coverage (what the
+   background needs) while cutting sequential steps ~40%. The schedule's
+   summed straight-line reach is guarded to span the frame
+   (detect/segment.connected_components_auto).
+
+All shifts are ``pltpu.roll`` + masks (no gathers, no HBM traffic between
+steps). Grid = one program per frame; each program owns a (1, H, W) block
+in VMEM.
 
 Reference anchor: this replaces the union-find stage of the AprilTag C
 detector (apriltag.c's unionfind over the thresholded image), reformulated
@@ -38,12 +57,13 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _ccl_kernel(rounds: int, step_cap: int, trin_ref, out_ref):
+def _ccl_kernel(schedule: tuple[int, ...], trin_ref, out_ref):
     trin = trin_ref[0]  # (H, W) int32: 0 black, 1 white, -1 unknown
     H, W = trin.shape
     big = jnp.int32(H * W)
     one = jnp.int32(1)
     zero = jnp.int32(0)
+    max_steps = max(schedule)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
@@ -51,18 +71,14 @@ def _ccl_kernel(rounds: int, step_cap: int, trin_ref, out_ref):
     known = trin >= 0
     lab = jnp.where(known, rows * W + cols, big)
 
-    def seg_scan_dir(lab, axis, size, direction):
-        """Propagate run-min from one side (direction=+1: from lower indices).
+    def run_extent(axis, size, direction):
+        """dist[i] = min(consecutive same-colour predecessors of i along
+        ``direction``, 2^max_steps). Computed ONCE; masks every
+        relaxation step of this (axis, direction) via ``dist >= d``.
 
-        VMEM frugality: connectivity masks are recomputed from ``trin`` (one
-        roll + compare) instead of kept live across the whole kernel; no
-        boundary index masks are needed inside the loop — the element-0 (or
-        element-last) break in ``same`` zeroes every wrapped reach chain by
-        induction, so rolled-in garbage always carries weight 0. The
-        distance-doubling loop is a fori_loop with a DYNAMIC rotate amount —
-        unrolling it would give every intermediate plane its own Mosaic
-        stack slot and blow the 16 MB VMEM budget.
-        """
+        The element-0 (or element-last) break in the seed zeroes every
+        wrapped chain by induction, so rolled-in garbage never extends a
+        run across the frame edge."""
         idx = cols if axis == 1 else rows
         edge = (idx >= 1) if direction == 1 else (idx < size - 1)
         same = jnp.where(
@@ -71,48 +87,62 @@ def _ccl_kernel(rounds: int, step_cap: int, trin_ref, out_ref):
             one,
             zero,
         )
-        n_steps = max(1, (size - 1).bit_length())  # d = 1, 2, ..., >= size/2
-        if step_cap:
-            # Cap the per-pass propagation distance to 2^step_cap - 1: with
-            # R rounds the total straight-line reach is R * (2^cap - 1), so
-            # a cap that still spans the frame across the round budget cuts
-            # sequential VMEM steps without shrinking coverage.
-            n_steps = min(n_steps, step_cap)
 
-        def step(i, carry):
-            lab, reach = carry
+        def grow(k, dist):
+            d = one << k
+            shift = jnp.where(direction == 1, d % size, (size - d) % size)
+            ext = pltpu.roll(dist, shift, axis=axis)
+            return dist + jnp.where(dist == d, ext, zero)
+
+        return jax.lax.fori_loop(0, max_steps, grow, same)
+
+    dists = {
+        (axis, direction): run_extent(axis, W if axis == 1 else H, direction)
+        for axis in (1, 0)
+        for direction in (1, -1)
+    }
+
+    def seg_scan_dir(lab, axis, size, direction, n_steps):
+        """Propagate run-min from one side (direction=+1: from lower
+        indices) with per-pass doubling depth ``n_steps``. The
+        distance-doubling loop is a fori_loop with a DYNAMIC rotate
+        amount — unrolling it would give every intermediate plane its own
+        Mosaic stack slot and blow the 16 MB VMEM budget."""
+        dist = dists[(axis, direction)]
+
+        def step(i, lab):
             d = one << i
             shift = jnp.where(direction == 1, d % size, (size - d) % size)
             lab_n = pltpu.roll(lab, shift, axis=axis)
-            lab = jnp.minimum(lab, jnp.where(reach == 1, lab_n, big))
-            reach = reach * pltpu.roll(reach, shift, axis=axis)
-            return lab, reach
+            return jnp.minimum(lab, jnp.where(dist >= d, lab_n, big))
 
-        lab, _ = jax.lax.fori_loop(0, n_steps, step, (lab, same))
-        return lab
+        return jax.lax.fori_loop(0, n_steps, step, lab)
 
-    def one_round(_, lab):
-        lab = seg_scan_dir(lab, axis=1, size=W, direction=1)
-        lab = seg_scan_dir(lab, axis=1, size=W, direction=-1)
-        lab = seg_scan_dir(lab, axis=0, size=H, direction=1)
-        lab = seg_scan_dir(lab, axis=0, size=H, direction=-1)
-        return lab
-
-    lab = jax.lax.fori_loop(0, rounds, one_round, lab)
+    # Rounds are Python-unrolled (schedule is static); only ``lab`` stays
+    # live across rounds, so unrolling costs no extra VMEM planes.
+    for cap in schedule:
+        lab = seg_scan_dir(lab, axis=1, size=W, direction=1, n_steps=cap)
+        lab = seg_scan_dir(lab, axis=1, size=W, direction=-1, n_steps=cap)
+        lab = seg_scan_dir(lab, axis=0, size=H, direction=1, n_steps=cap)
+        lab = seg_scan_dir(lab, axis=0, size=H, direction=-1, n_steps=cap)
     out_ref[0] = jnp.where(known, lab, big)
 
 
-@partial(jax.jit, static_argnames=("rounds", "interpret", "step_cap"))
+@partial(jax.jit, static_argnames=("rounds", "interpret", "step_cap", "schedule"))
 def connected_components_pallas(
     trinary: jax.Array,  # (B, H, W) int8/int32: 0 black, 1 white, -1 unknown
     rounds: int = 4,
     interpret: bool = False,
     step_cap: int = 0,
+    schedule: tuple[int, ...] | None = None,
 ) -> jax.Array:
     """Label same-colour connected regions. Returns (B, H, W) int32 labels:
     min linear index of the component per pixel, sentinel H*W for unknown.
 
-    Bit-compatible with detect/segment.connected_components at convergence.
+    ``schedule`` gives the per-round doubling depth explicitly; otherwise
+    every one of ``rounds`` rounds runs at full depth (clamped to
+    ``step_cap`` when nonzero). Bit-compatible with
+    detect/segment.connected_components at convergence.
     """
     B, H, W = trinary.shape
     Hp = _round_up(H, 8)
@@ -121,8 +151,14 @@ def connected_components_pallas(
     if (Hp, Wp) != (H, W):
         t = jnp.pad(t, ((0, 0), (0, Hp - H), (0, Wp - W)), constant_values=-1)
 
+    if schedule is None:
+        full = max(1, (max(Hp, Wp) - 1).bit_length())  # d = 1, 2, ..., >= size/2
+        if step_cap:
+            full = min(full, step_cap)
+        schedule = (full,) * rounds
+
     labels = pl.pallas_call(
-        partial(_ccl_kernel, rounds, step_cap),
+        partial(_ccl_kernel, tuple(schedule)),
         out_shape=jax.ShapeDtypeStruct((B, Hp, Wp), jnp.int32),
         grid=(B,),
         in_specs=[

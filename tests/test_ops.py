@@ -45,6 +45,25 @@ class TestPallasCCL:
         right = set(lab[:, 64:].ravel().tolist())
         assert len(left) == 1 and len(right) == 1 and left != right
 
+    @pytest.mark.parametrize("seed", [0, 3])
+    def test_mixed_schedule_matches_xla(self, seed):
+        """An explicit per-round schedule converges to the same labels as
+        the XLA path on block-structured images. (Production uses all-full
+        rounds — mixed schedules were probed on TPU and rejected for
+        unconverged background labels — but the schedule parameter remains
+        supported and must stay correct.)"""
+        rng = np.random.default_rng(seed)
+        B, H, W = 2, 40, 52
+        base = rng.integers(-1, 2, size=(B, H // 4, W // 4)).astype(np.int8)
+        t = jnp.asarray(np.repeat(np.repeat(base, 4, axis=1), 4, axis=2))
+        ref = np.asarray(connected_components(t, scan_iters=8, jump_iters=2))
+        got = np.asarray(
+            connected_components_pallas(
+                t, schedule=(7, 3, 7, 3, 7, 3, 7, 3), interpret=True
+            )
+        )
+        np.testing.assert_array_equal(ref, got)
+
     def test_vmem_budget_gate(self):
         assert pallas_ccl_supported((8, 500, 500))
         assert not pallas_ccl_supported((1, 2048, 2048))
