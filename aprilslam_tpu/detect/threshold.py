@@ -36,16 +36,25 @@ def to_grayscale(frames: jax.Array) -> jax.Array:
 def decimate(frames: jax.Array, factor: int) -> jax.Array:
     """Average-pool by an integer factor (apriltag's quad_decimate).
 
-    reshape-and-mean measures FASTER on v5e than factor^2 strided slices
-    (lane-strided slices defeat vectorization; wall-clock A/B 2026-08-21).
+    Expressed as two matmuls with block-diagonal averaging matrices: the
+    MXU is idle during the front end, and XLA fuses the preceding
+    uint8->float grayscale convert into the matmul read. Measured on v5e
+    at 1000x1000 B=8 (tools/probe_front_split.py, 2026-08-21): 0.16
+    ms/frame vs 0.37 for reshape-and-mean (which itself beat factor^2
+    strided slices), exact to float eps (1.2e-7).
     """
     if factor == 1:
         return frames
+    import numpy as np
+
     B, H, W = frames.shape
     Hd, Wd = H // factor, W // factor
-    x = frames[:, : Hd * factor, : Wd * factor]
-    x = x.reshape(B, Hd, factor, Wd, factor)
-    return x.mean(axis=(2, 4))
+    dr = np.zeros((Hd, H), np.float32)
+    dr[np.arange(Hd * factor) // factor, np.arange(Hd * factor)] = 1.0 / factor
+    dc = np.zeros((W, Wd), np.float32)
+    dc[np.arange(Wd * factor), np.arange(Wd * factor) // factor] = 1.0 / factor
+    x = frames.astype(jnp.float32)
+    return jnp.einsum("rh,bhw,wc->brc", jnp.asarray(dr), x, jnp.asarray(dc))
 
 
 def _tile_minmax(frames: jax.Array, tile: int) -> tuple[jax.Array, jax.Array]:
