@@ -93,6 +93,7 @@ def build_slam_step(
     pgo_edges: int = 192,
     pgo_loop_gap: int = 24,
     kf_every: int = 0,
+    taggraph_every: int = 1,
 ):
     """Returns (slam_step, init_state) where
     ``slam_step(state, frames) -> (state, SlamOutputs)`` is jittable and
@@ -151,7 +152,7 @@ def build_slam_step(
 
     dist = None if dist_coeffs is None else jnp.asarray(dist_coeffs)
 
-    def _apply_taggraph(tg, ba):
+    def _apply_taggraph(tg, ba, due):
         """Refine the landmark map against the landmark pose graph and
         conjugate each keyframe rigidly by its dominant observed tag's
         correction.
@@ -161,9 +162,15 @@ def build_slam_step(
         no gradient pulling the corrected tags back to the drifted
         geometry they were seeded in (measured: without keyframe
         co-motion the window acts as a rubber band and cancels the
-        correction within one chunk)."""
-        Ml = ba.n_landmarks
-        Kf = ba.n_keyframes
+        correction within one chunk).
+
+        ``due`` (a () bool) gates the WHOLE solve+conjugate under
+        lax.cond — the top_k edge extraction, LM solve, and keyframe
+        einsums were 28% of the pgo-on throughput gap (probe 2026-08-21)
+        and running them every chunk buys nothing: corrections change
+        materially only after fresh evidence accumulates, so the caller
+        passes (new loop edges) | (every ``taggraph_every``-th chunk).
+        The skipped branch is bit-exact (state passthrough)."""
         # A tag becomes movable only once the graph holds enough averaged
         # sightings for its consensus pose to beat the live BA estimate
         # (early few-sample solves measurably HURT: +0.3 su on lap 1 of
@@ -173,27 +180,36 @@ def build_slam_step(
         supp = taggraph_support(tg)
         movable = ba.lm_active & (supp >= 24.0)
         hold = ba.lm_active & ~movable
-        new_lm, moved = taggraph_solve(
-            tg, ba.lm_pose, ba.lm_active, ba.anchor, hold=hold)
-        eye4 = jnp.eye(4, dtype=ba.lm_pose.dtype)
-        delta_lm = jnp.where(
-            (moved & movable)[:, None, None],
-            jnp.einsum("mij,mjk->mik", new_lm, jax.vmap(_se3_inverse)(ba.lm_pose)),
-            eye4,
-        )
-        # Dominant MOVED tag per keyframe by live observation count.
-        counts = jnp.zeros((Kf, Ml), jnp.float32).at[
-            ba.obs_kf, ba.obs_lm
-        ].add(ba.obs_ok.astype(jnp.float32), mode="drop")
-        cm = counts * movable[None, :].astype(jnp.float32)
-        m_star = jnp.argmax(cm, axis=1)
-        has = (jnp.max(cm, axis=1) > 0) & ba.kf_active & moved
-        kf_delta = jnp.where(has[:, None, None], delta_lm[m_star], eye4)
-        return _replace(
-            ba,
-            lm_pose=new_lm,
-            kf_pose=jnp.einsum("kij,kjl->kil", kf_delta, ba.kf_pose),
-        )
+        do = due & jnp.any(movable) & (ba.anchor >= 0)
+
+        def run(args):
+            tg_i, ba_i = args
+            Ml = ba_i.n_landmarks
+            Kf = ba_i.n_keyframes
+            new_lm, moved = taggraph_solve(
+                tg_i, ba_i.lm_pose, ba_i.lm_active, ba_i.anchor, hold=hold)
+            eye4 = jnp.eye(4, dtype=ba_i.lm_pose.dtype)
+            delta_lm = jnp.where(
+                (moved & movable)[:, None, None],
+                jnp.einsum("mij,mjk->mik", new_lm,
+                           jax.vmap(_se3_inverse)(ba_i.lm_pose)),
+                eye4,
+            )
+            # Dominant MOVED tag per keyframe by live observation count.
+            counts = jnp.zeros((Kf, Ml), jnp.float32).at[
+                ba_i.obs_kf, ba_i.obs_lm
+            ].add(ba_i.obs_ok.astype(jnp.float32), mode="drop")
+            cm = counts * movable[None, :].astype(jnp.float32)
+            m_star = jnp.argmax(cm, axis=1)
+            has = (jnp.max(cm, axis=1) > 0) & ba_i.kf_active & moved
+            kf_delta = jnp.where(has[:, None, None], delta_lm[m_star], eye4)
+            return _replace(
+                ba_i,
+                lm_pose=new_lm,
+                kf_pose=jnp.einsum("kij,kjl->kil", kf_delta, ba_i.kf_pose),
+            )
+
+        return jax.lax.cond(do, run, lambda args: args[1], (tg, ba))
 
     def slam_step(state, frames: jax.Array):
         det = detect(frames)
@@ -515,11 +531,25 @@ def build_slam_step(
                 # conjugation — node deltas distribute the loop error
                 # evenly along the odometry chain, which is exactly the
                 # noise-sensitive correction round 3 shipped.
-                pgo_s, delta, _closed = pgo_solve(pgo_s)
-                ba = _replace(
-                    ba,
-                    kf_pose=apply_node_deltas(delta, pgo_s.kf_node, ba.kf_pose),
-                )
+                #
+                # Idle gating (probe 2026-08-21: chunk-boundary work was
+                # 93% of the 21% pgo-on throughput cost): the solve AND
+                # the delta/conjugation einsums run only when loop edges
+                # are actually pending — with an identity delta the
+                # application is a bit-exact no-op, so skipping it is
+                # free accuracy-wise.
+                pending = pgo_s.n_loops > pgo_s.n_solved
+
+                def _do_pgo(args):
+                    ba_i, pgo_i = args
+                    pgo_o, delta, _closed = pgo_solve(pgo_i)
+                    return _replace(
+                        ba_i,
+                        kf_pose=apply_node_deltas(delta, pgo_o.kf_node, ba_i.kf_pose),
+                    ), pgo_o
+
+                ba, pgo_s = jax.lax.cond(
+                    pending, _do_pgo, lambda args: args, (ba, pgo_s))
                 # Landmark pose graph: accumulate this chunk's co-visible
                 # detection pairs (batched — outside the scan) and refine
                 # the landmark map against the averaged relative-pose
@@ -527,9 +557,17 @@ def build_slam_step(
                 # 24 accumulated pair sightings are HELD (support gate in
                 # _apply_taggraph) — the live BA/localization estimate
                 # beats an early few-sample graph mean, and held tags
-                # double as consistency anchors pulling the rest.
+                # double as consistency anchors pulling the rest. The
+                # solve runs on new loop edges or every taggraph_every-th
+                # chunk; accumulation is unconditional (it IS the
+                # evidence).
                 tg = taggraph_accumulate(tg, det.ids, T_all, ok_all & seed_all)
-                ba = _apply_taggraph(tg, ba)
+                chunk_idx = ba.frame_count // frames.shape[0]
+                cadence = (
+                    (chunk_idx % taggraph_every) == 0
+                    if taggraph_every > 1 else jnp.asarray(True)
+                )
+                ba = _apply_taggraph(tg, ba, due=pending | cadence)
                 state = (graph, ba, pgo_s, tg)
             else:
                 state = (graph, ba)
@@ -570,11 +608,16 @@ def build_slam_step(
         elif use_pgo:
             # Frame schedule: the camera pose-graph solve already ran
             # inline; fold the chunk's detections into the landmark pose
-            # graph and refine the map once per chunk (low-support tags
-            # held, as in the chunk schedule).
+            # graph and refine the map on the taggraph_every cadence
+            # (low-support tags held, as in the chunk schedule).
             graph, ba, pgo_s = scan_state
             tg = taggraph_accumulate(tg, det.ids, T_all, ok_all & seed_all)
-            ba = _apply_taggraph(tg, ba, ok_all, det.ids)
+            chunk_idx = ba.frame_count // frames.shape[0]
+            cadence = (
+                (chunk_idx % taggraph_every) == 0
+                if taggraph_every > 1 else jnp.asarray(True)
+            )
+            ba = _apply_taggraph(tg, ba, due=cadence)
             state = (graph, ba, pgo_s, tg)
         else:
             state = scan_state
@@ -621,6 +664,7 @@ class SlamSystem:
         ba_chunk_iters: int | None = None,
         init_joint_iters: int | None = None,
         kf_every: int = 0,
+        taggraph_every: int = 1,
     ):
         self._step, self._init = build_slam_step(
             family, camera, tag_size,
@@ -636,6 +680,7 @@ class SlamSystem:
             ba_chunk_iters=ba_chunk_iters,
             init_joint_iters=init_joint_iters,
             kf_every=kf_every,
+            taggraph_every=taggraph_every,
         )
         self._step = jax.jit(self._step)
         self.state = self._init()

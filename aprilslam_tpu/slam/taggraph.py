@@ -85,6 +85,7 @@ def taggraph_accumulate(
     reliable: jax.Array,  # (B, D) or (D,) bool — branch-reliable PnP only
     max_dev_t: float = 5.0,
     max_dev_r: float = 0.5,
+    compact_budget: int = 512,
 ) -> TagGraphState:
     """Fold a chunk of detections into the pair accumulator.
 
@@ -94,6 +95,14 @@ def taggraph_accumulate(
     ``max_dev_t`` sim-units or ``max_dev_r`` radians is rejected: pair
     noise is sub-unit, so a large deviation is a wrong planar branch that
     slipped the gate, and one such outlier corrupts a linear mean.
+
+    The B*D^2 pair grid is mostly padding (real detections per frame <<
+    max_detections), so valid pairs are COMPACTED to ``compact_budget``
+    entries before the expensive per-pair math (se3 inverse/log) — probe
+    2026-08-21: the accumulate pass was 36% of the pgo-on throughput gap,
+    dominated by 2048 mostly-padding matrix logs. Overflow beyond the
+    budget drops measurements (harmless for a count-weighted mean; a
+    5-tag scene peaks at ~160 real pairs per 8-frame chunk).
     """
     M = tg.capacity
     dtype = tg.sum_dev.dtype
@@ -106,11 +115,19 @@ def taggraph_accumulate(
     idq = jnp.broadcast_to(ids[:, None, :], (B, D, D)).reshape(-1)
     rp = jnp.broadcast_to(reliable[:, :, None], (B, D, D)).reshape(-1)
     rq = jnp.broadcast_to(reliable[:, None, :], (B, D, D)).reshape(-1)
-    Tp = jnp.broadcast_to(T_obs[:, :, None], (B, D, D, 4, 4)).reshape(-1, 4, 4)
-    Tq = jnp.broadcast_to(T_obs[:, None, :], (B, D, D, 4, 4)).reshape(-1, 4, 4)
     valid = (
         rp & rq & (idp >= 0) & (idq > idp) & (idq < M)
     )
+    if compact_budget and compact_budget < valid.shape[0]:
+        # Valid-first gather (cheap int top_k on the mask), then the 4x4
+        # math runs on the budget only.
+        _, sel = jax.lax.top_k(valid.astype(jnp.int32), compact_budget)
+        idp, idq, valid = idp[sel], idq[sel], valid[sel]
+        Tp = jnp.broadcast_to(T_obs[:, :, None], (B, D, D, 4, 4)).reshape(-1, 4, 4)[sel]
+        Tq = jnp.broadcast_to(T_obs[:, None, :], (B, D, D, 4, 4)).reshape(-1, 4, 4)[sel]
+    else:
+        Tp = jnp.broadcast_to(T_obs[:, :, None], (B, D, D, 4, 4)).reshape(-1, 4, 4)
+        Tq = jnp.broadcast_to(T_obs[:, None, :], (B, D, D, 4, 4)).reshape(-1, 4, 4)
     T_pair = jnp.einsum(
         "kij,kjl->kil", jax.vmap(se3_inverse)(Tp.astype(dtype)), Tq.astype(dtype)
     )
