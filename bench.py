@@ -18,28 +18,43 @@ the last JSON line of stdout gets a complete result.
 Headline = BASELINE config 1 (default scene, Monte-Carlo poses at the
 reference resolution, /root/reference/src/simulation/simulation_engine.py:92):
 >=512 DISTINCT pre-rendered frames run through the jitted step in steady
-state.  Extras cover the remaining BASELINE configs:
+state.  The headline batch is CHOSEN BY MEASUREMENT (round-4 verdict weak
+#4): a short sweep over candidate batches runs first on the same distinct
+frame pool, and the full accuracy + timed run happens at the winner.  The
+headline also carries an ACCURACY GATE: if ATE exceeds
+``BENCH_ATE_MAX`` (default 0.45 su) the process exits nonzero after
+emitting everything, so a future fps tuning cannot silently trade
+accuracy away (round-4 verdict weak #1).
+
+Extras run in BASELINE priority order (config 2 -> 4 -> 3 -> stage split):
 
   pgo_bench      config 2 — randomized tag placement + a two-lap loop
-                 trajectory, pgo on vs off (fps, ATE, loop edges minted)
-  batch_sweep    batch scaling of the headline pipeline
-  stage_ms       wall-clock PREFIX ablation (thr+ccl / +quads / +decode+
-                 refine / full step) — differences give stage-group costs
-                 without per-stage fresh-jit compiles
-  multiseq       config 3 — 8 independent trajectories vmapped on one chip
+                 trajectory, pgo on vs off (fps, ATE, loop edges minted,
+                 on/off throughput ratio)
   video          config 4 — Y4M file replay through the native reader ->
                  batched detect -> PnP at 640x480 (reference target 30 fps,
                  /root/reference/src/detection/video_detection.py:106-108)
+  multiseq       config 3 — 8 independent trajectories vmapped on one chip
+  stage_ms       wall-clock PREFIX ablation (thr+ccl / +quads / +decode+
+                 refine / full step) — differences give stage-group costs
+                 without per-stage fresh-jit compiles
 
 Baseline: the reference's measured 2.69 FPS end-to-end loop on CPU
 (BASELINE.md; 570 frames / 211.8 s; /root/reference/README.md:306 claims
 "about 3 fps").  ATE is reported in sim units against the analytic ground
 truth (reference bar: 1.797, BASELINE.md).
 
-Env knobs: BENCH_BATCH (headline batch), BENCH_RES, BENCH_CHUNKS,
-BENCH_PASSES, BENCH_BUDGET_S (wall-clock budget for extras), and per-extra
-switches BENCH_SWEEP / BENCH_STAGES / BENCH_PGO / BENCH_MULTISEQ /
-BENCH_VIDEO (=0 to skip), BENCH_ESTIMATOR.
+All SLAM legs size graph/landmark capacity to the scene
+(``BENCH_GRAPH_CAP``, default 16 for the 5-tag reference scenes): padding
+64-slot landmark grids for 5 tags made the taggraph/pgo path ~90% padding
+work (probe 2026-08-21).
+
+Env knobs: BENCH_BATCH (PIN the headline batch, skipping sweep selection),
+BENCH_RES, BENCH_FRAMES (distinct-frame pool size), BENCH_PASSES,
+BENCH_BUDGET_S (wall-clock budget for extras), BENCH_ATE_MAX,
+BENCH_GRAPH_CAP, BENCH_CHUNK_ITERS / BENCH_PNP_ITERS (accuracy knobs),
+and per-extra switches BENCH_SWEEP / BENCH_STAGES / BENCH_PGO /
+BENCH_MULTISEQ / BENCH_VIDEO (=0 to skip), BENCH_ESTIMATOR.
 """
 
 from __future__ import annotations
@@ -321,7 +336,8 @@ def _ate_eval(cfg, pos, rot, all_outs):
     return ate, float(valid.mean()), int((~valid).sum())
 
 
-def bench_pgo_leg(base_cfg_raw, params, res, batch):
+def bench_pgo_leg(base_cfg_raw, params, res, batch, graph_cap=16,
+                  chunk_iters=4, pnp_iters=3):
     """BASELINE config 2: randomized tag placement + a two-lap loop
     trajectory; pgo (camera pose graph + landmark pose graph) on vs off
     on the production chunk schedule. Anchor:
@@ -362,7 +378,8 @@ def bench_pgo_leg(base_cfg_raw, params, res, batch):
         step, init = build_slam_step(
             cfg.family, cam, cfg.tag_size_inner, detector_params=params,
             estimator="ba", ba_schedule="chunk", init_joint_iters=3,
-            ba_chunk_iters=4, pnp_iters=3, pgo=pgo,
+            ba_chunk_iters=chunk_iters, pnp_iters=pnp_iters, pgo=pgo,
+            graph_capacity=graph_cap,
         )
         step = jax.jit(step)
         state = init()
@@ -371,11 +388,16 @@ def bench_pgo_leg(base_cfg_raw, params, res, batch):
             state, o = step(state, c)
             all_outs.append(o)
         jax.block_until_ready(all_outs)
-        t0 = time.perf_counter()
-        for c in chunks:  # steady-state timed pass
-            state, o = step(state, c)
-        jax.block_until_ready(o)
-        dt = time.perf_counter() - t0
+        # Two steady-state bursts, best-of: single-burst numbers carry the
+        # tunnel's minutes-scale throughput drift into the on/off RATIO,
+        # which this leg exists to report.
+        dt = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for c in chunks:  # steady-state timed pass
+                state, o = step(state, c)
+            jax.block_until_ready(o)
+            dt = min(dt, time.perf_counter() - t0)
         ate, vrate, _ninv = _ate_eval(cfg, pos, rot, all_outs)
         tag = "pgo_on" if pgo else "pgo_off"
         out[f"fps_{tag}"] = round(n_frames / dt, 2)
@@ -384,10 +406,14 @@ def bench_pgo_leg(base_cfg_raw, params, res, batch):
         if pgo:
             out["loop_edges"] = int(np.asarray(all_outs[-1].loop_closures)[-1])
         _log(f"pgo leg {tag}: {out[f'fps_{tag}']} fps ate {out[f'ate_{tag}']}")
+    # The production-path cost of having loop closure ON (round-4 ask:
+    # >= 0.90 after the idle-gating work).
+    out["fps_on_over_off"] = round(out["fps_pgo_on"] / out["fps_pgo_off"], 3)
     return out
 
 
-def bench_multiseq_leg(cfg, params, res, n_seq=8, batch=8):
+def bench_multiseq_leg(cfg, params, res, n_seq=8, batch=8, graph_cap=16,
+                       chunk_iters=4, pnp_iters=3):
     """BASELINE config 3: N independent trajectories vmapped over a
     sequence axis on ONE chip (cross-chip scaling is the dryrun/shard_map
     path, parallel/sequences.py)."""
@@ -416,7 +442,8 @@ def bench_multiseq_leg(cfg, params, res, n_seq=8, batch=8):
     step, init = build_slam_step(
         cfg.family, cam, cfg.tag_size_inner, detector_params=params,
         estimator="ba", ba_schedule="chunk", init_joint_iters=3,
-        ba_chunk_iters=4, pnp_iters=3,
+        ba_chunk_iters=chunk_iters, pnp_iters=pnp_iters,
+        graph_capacity=graph_cap,
     )
     step_v = jax.jit(jax.vmap(step))
     states = jax.tree.map(lambda *xs: jnp.stack(xs), *[init() for _ in range(n_seq)])
@@ -500,7 +527,7 @@ def main():
     import jax.numpy as jnp
 
     from aprilslam_tpu.geometry import PinholeCamera
-    from aprilslam_tpu.sim import SceneConfig, scene_tensors, render_frames, camera_in_tag_frames
+    from aprilslam_tpu.sim import SceneConfig, scene_tensors, render_frames
     from aprilslam_tpu.sim import trajectory
     from aprilslam_tpu.detect import DetectorParams
     from aprilslam_tpu.slam import build_slam_step
@@ -509,19 +536,28 @@ def main():
     if on_cpu:
         _log("running on CPU (TPU unresponsive or BENCH_DEVICE=cpu); "
              "shrinking workload so the headline still lands")
-    # CPU fallback defaults keep the same reference resolution but cut the
-    # frame count so the timed loop finishes inside the driver window.
-    B = int(os.environ.get("BENCH_BATCH", "4" if on_cpu else "8"))
     H = W = int(os.environ.get("BENCH_RES", "1000"))
-    # 64 chunks x 8 = 512 DISTINCT frames (round-3 verdict weak #5: the
-    # headline ATE was a 48-frame sample; the reference baseline used 570).
-    n_chunks = int(os.environ.get("BENCH_CHUNKS", "2" if on_cpu else "64"))
+    # 512 DISTINCT frames (round-3 verdict weak #5: the headline ATE was a
+    # 48-frame sample; the reference baseline used 570). CPU fallback cuts
+    # the pool so the timed loop finishes inside the driver window.
+    n_frames = int(os.environ.get("BENCH_FRAMES", "8" if on_cpu else "512"))
     passes = int(os.environ.get("BENCH_PASSES", "2" if on_cpu else "1"))
+    pinned = os.environ.get("BENCH_BATCH")
     do_sweep = os.environ.get("BENCH_SWEEP", "0" if on_cpu else "1") != "0"
     do_stages = os.environ.get("BENCH_STAGES", "0" if on_cpu else "1") != "0"
     do_pgo = os.environ.get("BENCH_PGO", "0" if on_cpu else "1") != "0"
     do_multiseq = os.environ.get("BENCH_MULTISEQ", "0" if on_cpu else "1") != "0"
     do_video = os.environ.get("BENCH_VIDEO", "0" if on_cpu else "1") != "0"
+    # Accuracy gate (round-4 verdict weak #1): a tuning that trades ATE
+    # past this ceiling fails the artifact (nonzero exit AFTER emitting).
+    # The CPU fallback's tiny pool has high-variance short-run ATE, so its
+    # gate is looser — the gate exists to police the TPU artifact.
+    ate_max = float(os.environ.get("BENCH_ATE_MAX", "2.0" if on_cpu else "0.45"))
+    # Landmark/graph capacity sized to the scene: 64 slots for a 5-tag
+    # scene made the taggraph/BA path ~90% padding (probe 2026-08-21).
+    graph_cap = int(os.environ.get("BENCH_GRAPH_CAP", "16"))
+    chunk_iters = int(os.environ.get("BENCH_CHUNK_ITERS", "4"))
+    pnp_iters = int(os.environ.get("BENCH_PNP_ITERS", "3"))
 
     _log("imports done; building scene")
     cfg = SceneConfig.from_file()
@@ -530,96 +566,127 @@ def main():
     # max_detections 16 = 3x headroom over the 5-tag scene; halves the
     # (mostly padding) per-detection PnP work. ATE-verified neutral.
     # max_boundary 8192 = ~2x headroom over the measured worst case (4.5k
-    # boundary points at sigma=0.10 noise; probe 2026-08-21) — compaction
-    # targets and the cluster sort shrink 2x vs the conservative library
-    # default of 16384.
-    # CCL rounds stay at the default 8 (the Pallas kernel is ~1.2 ms/frame
-    # of the 3.3 ms step): 6 rounds looked safe on Monte-Carlo poses
-    # (identical detections down to rounds=5) but LOST detections on the
-    # config-2 loop trajectory's long-range oblique views — config-2 ATE
-    # jumped 0.75 -> 1.25 for BOTH pgo modes. Measured 2026-08-21; do not
-    # trade this one without a long-range recall check.
+    # boundary points at sigma=0.10 noise; probe 2026-08-21).
+    # CCL rounds stay at the default 8: 6 rounds LOST detections on the
+    # config-2 loop trajectory's long-range oblique views (ATE 0.75 ->
+    # 1.25). Measured 2026-08-21; do not trade without a recall check.
     params = DetectorParams(quad_decimate=2, min_cluster_pts=12,
                             max_detections=16, max_boundary=8192)
 
-    traj = trajectory.monte_carlo(B * n_chunks, seed=3)
+    traj = trajectory.monte_carlo(n_frames, seed=3)
     pos = jnp.asarray(traj.positions)
     rot = jnp.asarray(traj.rotations)
     K_inv = jnp.asarray(cam.inv_matrix)
 
     # chunk schedule beats per-frame on BOTH axes on the real chip
-    # (fps 97.43 vs 93.37 at the time of the switch; ATE 0.2417 vs 0.2896;
-    # 137.09 fps after the scatter-free detector work — all measured
-    # 2026-08-21): the LM-BA solve runs once per chunk outside the
-    # sequential scan and a batched re-localization against the final map
-    # recovers (and improves) accuracy. Hence the default.
-    step, init = build_slam_step(
-        cfg.family,
-        cam,
-        cfg.tag_size_inner,
-        detector_params=params,
-        estimator=os.environ.get("BENCH_ESTIMATOR", "ba"),
-        ba_schedule=os.environ.get("BENCH_BA_SCHEDULE", "chunk"),
-        # In-scan localization only seeds keyframe insertion under the
-        # chunk schedule (the reported pose comes from the post-scan
-        # batched re-localization at full depth). Iteration budgets from
-        # the round-4 TPU knob probe (96-frame accuracy pass): 4 chunk-LM
-        # iterations and 3 PnP iterations cost +0.007 su ATE vs 8/5 and
-        # buy +9% fps (238 -> 260).
-        init_joint_iters=3,
-        ba_chunk_iters=4,
-        pnp_iters=3,
-    )
-    # NOTE: no donate_argnums — buffer donation trips an INVALID_ARGUMENT in
-    # the axon TPU backend (verified empirically; works fine without).
-    step = jax.jit(step)
+    # (measured 2026-08-21, round 3): the LM-BA solve runs once per chunk
+    # outside the sequential scan and a batched re-localization against
+    # the final map recovers (and improves) accuracy. Hence the default.
+    def make_step():
+        fn, init = build_slam_step(
+            cfg.family, cam, cfg.tag_size_inner,
+            detector_params=params,
+            estimator=os.environ.get("BENCH_ESTIMATOR", "ba"),
+            ba_schedule=os.environ.get("BENCH_BA_SCHEDULE", "chunk"),
+            graph_capacity=graph_cap,
+            ba_keyframes=int(os.environ.get("BENCH_KF", "16")),
+            ba_obs=int(os.environ.get("BENCH_OBS", "512")),
+            # In-scan localization only seeds keyframe insertion under the
+            # chunk schedule (the reported pose comes from the post-scan
+            # batched re-localization at full depth).
+            init_joint_iters=3,
+            ba_chunk_iters=chunk_iters,
+            pnp_iters=pnp_iters,
+        )
+        # NOTE: no donate_argnums — buffer donation trips INVALID_ARGUMENT
+        # in the axon TPU backend (verified empirically).
+        return jax.jit(fn), init
 
-    # Pre-render all frame chunks (the harness, not the benchmark). The 512
-    # distinct frames cost ~80 s of render execution — cached to disk as
-    # uint8 (the pipeline's native camera dtype) so a warm invocation
-    # reaches the timed loop without re-rendering. Cache key covers every
-    # input that shapes the frames.
+    # Pre-render the distinct-frame pool (the harness, not the benchmark;
+    # ~80 s of render execution at 512 frames) — cached to disk as uint8
+    # (the pipeline's native camera dtype), BATCH-INDEPENDENT so any
+    # candidate batch regroups the same pool on device.
     frame_cache = os.environ.get(
         "BENCH_FRAME_CACHE",
-        f"/tmp/aprilslam_bench_frames_v1_{W}x{H}_B{B}_c{n_chunks}_s3.npy",
+        f"/tmp/aprilslam_bench_frames_v2_{W}x{H}_n{n_frames}_s3.npy",
     )
-    loaded = False
-    frames_np = None
+    pool_np = None
     if frame_cache and os.path.exists(frame_cache):
         try:
             arr = np.load(frame_cache)
-            if arr.shape == (n_chunks, B, H, W):
-                _log(f"loading pre-rendered chunks from {frame_cache}")
-                chunks = [jax.device_put(arr[i]) for i in range(n_chunks)]
-                jax.block_until_ready(chunks)
-                frames_np = arr
-                loaded = True
+            if arr.shape == (n_frames, H, W):
+                _log(f"loading pre-rendered pool from {frame_cache}")
+                pool_np = arr
         except Exception as e:  # noqa: BLE001 — cache is best-effort
             _log(f"frame cache load failed ({e}); re-rendering")
-    if not loaded:
-        _log("rendering chunks (render compile)")
-        chunks = [
+    if pool_np is None:
+        _log("rendering frame pool (render compile)")
+        rb = 8
+        parts = [
             jnp.clip(render_frames(
-                scene, pos[i * B : (i + 1) * B], rot[i * B : (i + 1) * B],
+                scene, pos[i : i + rb], rot[i : i + rb],
                 K_inv, H, W, 2) * 255.0, 0, 255).astype(jnp.uint8)
-            for i in range(n_chunks)
+            for i in range(0, n_frames, rb)
         ]
-        jax.block_until_ready(chunks)
-        frames_np = np.stack([np.asarray(c) for c in chunks])
+        jax.block_until_ready(parts)
+        pool_np = np.concatenate([np.asarray(c) for c in parts])
+        parts = None
         if frame_cache:
             try:
-                np.save(frame_cache, frames_np)
+                np.save(frame_cache, pool_np)
                 _log(f"saved frame cache to {frame_cache}")
             except OSError as e:
                 _log(f"frame cache save failed: {e}")
-    _log("chunks ready; compiling slam step")
+    pool = jax.device_put(pool_np)
+    jax.block_until_ready(pool)
+    _log("pool on device; selecting headline batch")
 
-    # Warmup / compile.
-    state = init()
-    state, outs = step(state, chunks[0])
-    jax.block_until_ready(outs)
-    compile_done_s = _elapsed()
-    _log("step compiled; accuracy pass")
+    # ---- Batch selection: short sweep FIRST, headline at the winner ----
+    # (round-4 verdict weak #4: the sweep showed batch 16 beating the
+    # pinned batch-8 headline). BENCH_BATCH pins the batch and skips
+    # selection; candidate order puts the expected winner first so a
+    # budget squeeze still measures it.
+    if pinned:
+        candidates = [int(pinned)]
+    elif on_cpu:
+        candidates = [4]
+    else:
+        candidates = [b for b in (16, 8, 32) if n_frames % b == 0] or [8]
+    sweep: dict[str, float] = {}
+    compiled = {}
+    compile_done_s = None
+    for Bc in candidates:
+        if compiled and _remaining() < 150.0:
+            _log(f"sweep batch {Bc}: skipped (budget)")
+            continue
+        nB = n_frames // Bc
+        chunks_c = [pool.reshape(nB, Bc, H, W)[i] for i in range(nB)]
+        jax.block_until_ready(chunks_c)
+        _log(f"sweep batch {Bc}: compiling")
+        step_c, init_c = make_step()
+        st = init_c()
+        st, o = step_c(st, chunks_c[0])
+        jax.block_until_ready(o)
+        if compile_done_s is None:
+            compile_done_s = _elapsed()
+        reps = max(2, min(nB, 256 // Bc))
+        t0 = time.perf_counter()
+        for i in range(reps):
+            st, o = step_c(st, chunks_c[(i + 1) % nB])
+        jax.block_until_ready(o)
+        fps_c = reps * Bc / (time.perf_counter() - t0)
+        sweep[str(Bc)] = round(fps_c, 2)
+        compiled[Bc] = (step_c, init_c)
+        _log(f"sweep batch {Bc}: {fps_c:.1f} fps")
+        chunks_c = None
+    B = int(max(sweep, key=sweep.get)) if sweep else candidates[0]
+    if B not in compiled:
+        compiled[B] = make_step()
+    step, init = compiled[B]
+    n_chunks = n_frames // B
+    chunks = [pool.reshape(n_chunks, B, H, W)[i] for i in range(n_chunks)]
+    jax.block_until_ready(chunks)
+    _log(f"headline batch {B} (sweep {sweep}); accuracy pass")
 
     # Accuracy pass: one sweep over the distinct chunks from a fresh state.
     state = init()
@@ -630,7 +697,7 @@ def main():
     jax.block_until_ready(all_outs)
     _log("accuracy pass done; timed loop")
 
-    # Timed: steady state, >=512 frames by cycling the pre-rendered chunks.
+    # Timed: steady state over the >=512 distinct pre-rendered chunks.
     t0 = time.perf_counter()
     for _ in range(passes):
         for c in chunks:
@@ -640,10 +707,12 @@ def main():
     frames_timed = passes * n_chunks * B
     fps = frames_timed / dt
     _log(f"timed loop done: {fps:.1f} fps")
+    sweep[str(B)] = round(fps, 2)
 
     # Accuracy over the DISTINCT frames; ATE over valid frames only, with
     # the invalid count reported alongside so the exclusion is visible.
     ate_rmse, valid_rate, n_invalid = _ate_eval(cfg, pos, rot, all_outs)
+    ate_ok = bool(ate_rmse == ate_rmse and ate_rmse <= ate_max)
 
     result = {
         "metric": "frames_per_sec_per_chip",
@@ -652,46 +721,41 @@ def main():
         "vs_baseline": round(fps / 2.69, 2),
         "ate_rmse_sim_units": round(ate_rmse, 4),
         "ate_rmse_baseline": 1.797,
+        "ate_gate": {"max": ate_max, "pass": ate_ok},
         "valid_pose_rate": round(valid_rate, 4),
         "invalid_frames": n_invalid,
         "batch": B,
+        "batch_choice": "pinned" if pinned else "sweep_winner",
+        "batch_sweep_fps": sweep,
         "resolution": f"{W}x{H}",
         "frames_timed": frames_timed,
-        "frames_distinct": n_chunks * B,
-        "compile_s": round(compile_done_s, 1),
+        "frames_distinct": n_frames,
+        "graph_capacity": graph_cap,
+        "compile_s": round(compile_done_s or 0.0, 1),
         "device": str(jax.devices()[0]),
         **({"device_fallback": os.environ["BENCH_FALLBACK"]}
            if os.environ.get("BENCH_FALLBACK") else {}),
     }
+    if not ate_ok:
+        _log(f"ATE GATE FAILED: {ate_rmse:.4f} > {ate_max} — artifact will "
+             "exit nonzero after emitting")
 
     # ---- PRINT-FIRST: the headline goes out NOW, before any extras. ----
     _emit(result)
 
-    # ---- Extras, each gated on remaining wall-clock budget. ----
+    # ---- Extras in BASELINE priority order, budget-gated. --------------
     extras_skipped: list[str] = []
-
-    if do_stages:
-        _log("stage breakdown (prefix ablation)")
-        if _remaining() > 45.0:
-            ms, stage_skipped = stage_breakdown(cfg, chunks[0], params,
-                                                full_ms_per_frame=1e3 / fps)
-            result["stage_ms_per_frame"] = {k: round(v, 3) for k, v in ms.items()}
-            if stage_skipped:
-                extras_skipped.extend(f"stage_{s}" for s in stage_skipped)
-            _emit(result)
-        else:
-            extras_skipped.append("stage_breakdown")
-
-    # The headline chunks (~2 GB at 512 distinct frames) are only needed
-    # by the breakdown above — release them before the remaining legs
-    # render their own frames (device memory pressure measurably slowed
-    # the first-cut breakdown when it ran last).
+    # Keep one chunk for the stage breakdown; release the pool and the
+    # rest before the legs render their own frames (device memory
+    # pressure measurably slowed legs that ran last, round 4).
+    stage_chunk = chunks[0]
     chunks = None
+    pool = None
+    compiled = None
 
-    # BASELINE config 2: a TPU number for loop closure in the production
-    # path (round-4 ask #2).
+    # BASELINE config 2: loop closure on the production path.
     if do_pgo:
-        if _remaining() > 100.0:
+        if _remaining() > 90.0:
             try:
                 import json as _json
 
@@ -699,7 +763,9 @@ def main():
 
                 with open(DEFAULT_SCENE) as f:
                     raw = _json.load(f)
-                result["pgo_bench"] = bench_pgo_leg(raw, params, H, B)
+                result["pgo_bench"] = bench_pgo_leg(
+                    raw, params, H, min(B, 8), graph_cap=graph_cap,
+                    chunk_iters=chunk_iters, pnp_iters=pnp_iters)
                 _emit(result)
             except Exception as e:  # noqa: BLE001 — extras never kill the headline
                 _log(f"pgo leg failed: {type(e).__name__}: {e}")
@@ -707,67 +773,10 @@ def main():
         else:
             extras_skipped.append("pgo_bench")
 
-    if do_sweep:
-        sweep = {str(B): round(fps, 2)}
-        for Bs in (16, 32):
-            if Bs == B:
-                continue
-            if _remaining() < 60.0:
-                extras_skipped.append(f"sweep_batch_{Bs}")
-                continue
-            # DISTINCT chunks regrouped from the headline's frame pool:
-            # cycling one repeated chunk measured ~250 fps at batch 16
-            # where distinct-input chaining measures ~309 (a repeated
-            # chunk is not steady-state work for this backend) — the
-            # sweep must use the same methodology as the headline.
-            flat = frames_np.reshape(-1, H, W)
-            if flat.shape[0] < 2 * Bs:
-                extras_skipped.append(f"sweep_batch_{Bs}_too_few_frames")
-                continue
-            n_sw = max(2, min(8, flat.shape[0] // Bs))
-            sw_chunks = [
-                jax.device_put(flat[i * Bs:(i + 1) * Bs]) for i in range(n_sw)
-            ]
-            jax.block_until_ready(sw_chunks)
-            _log(f"sweep batch {Bs}: compiling")
-            # Different batch => different shapes => a fresh compile is
-            # unavoidable; the persistent cache serves repeat invocations.
-            # Same builder kwargs as the headline — a mismatched builder
-            # would measure a different program (or crash on the state
-            # pytree).
-            step_s_fn, init_s = build_slam_step(
-                cfg.family, cam, cfg.tag_size_inner,
-                detector_params=params,
-                estimator=os.environ.get("BENCH_ESTIMATOR", "ba"),
-                ba_schedule=os.environ.get("BENCH_BA_SCHEDULE", "chunk"),
-                init_joint_iters=3, ba_chunk_iters=4, pnp_iters=3,
-            )
-            step_s = jax.jit(step_s_fn)
-            st = init_s()
-            st, o = step_s(st, sw_chunks[0])
-            jax.block_until_ready(o)
-            n_pass = max(n_sw, 256 // Bs)
-            t0 = time.perf_counter()
-            for i in range(n_pass):
-                st, o = step_s(st, sw_chunks[i % n_sw])
-            jax.block_until_ready(o)
-            sweep[str(Bs)] = round(n_pass * Bs / (time.perf_counter() - t0), 2)
-            _emit({**result, "batch_sweep_fps": sweep})
-        result["batch_sweep_fps"] = sweep
-
-    if do_multiseq:
-        if _remaining() > 75.0:
-            try:
-                result["multiseq"] = bench_multiseq_leg(cfg, params, H)
-                _emit(result)
-            except Exception as e:  # noqa: BLE001
-                _log(f"multiseq leg failed: {type(e).__name__}: {e}")
-                extras_skipped.append("multiseq_failed")
-        else:
-            extras_skipped.append("multiseq")
-
+    # BASELINE config 4: Y4M video replay (round-4 verdict missing #1 —
+    # this leg must land in the artifact, so it runs SECOND).
     if do_video:
-        if _remaining() > 50.0:
+        if _remaining() > 40.0:
             try:
                 result["video"] = bench_video_leg(cfg)
                 _emit(result)
@@ -777,12 +786,40 @@ def main():
         else:
             extras_skipped.append("video")
 
+    # BASELINE config 3: multi-sequence on one chip.
+    if do_multiseq:
+        if _remaining() > 75.0:
+            try:
+                result["multiseq"] = bench_multiseq_leg(
+                    cfg, params, H, graph_cap=graph_cap,
+                    chunk_iters=chunk_iters, pnp_iters=pnp_iters)
+                _emit(result)
+            except Exception as e:  # noqa: BLE001
+                _log(f"multiseq leg failed: {type(e).__name__}: {e}")
+                extras_skipped.append("multiseq_failed")
+        else:
+            extras_skipped.append("multiseq")
+
+    if do_stages:
+        _log("stage breakdown (prefix ablation)")
+        if _remaining() > 45.0:
+            ms, stage_skipped = stage_breakdown(cfg, stage_chunk, params,
+                                                full_ms_per_frame=1e3 / fps)
+            result["stage_ms_per_frame"] = {k: round(v, 3) for k, v in ms.items()}
+            if stage_skipped:
+                extras_skipped.extend(f"stage_{s}" for s in stage_skipped)
+            _emit(result)
+        else:
+            extras_skipped.append("stage_breakdown")
+
     if extras_skipped:
         result["extras_skipped"] = extras_skipped
     result["total_s"] = round(_elapsed(), 1)
 
     # ---- Enriched final line (a superset of the headline keys). ----
     _emit(result)
+    if not ate_ok:
+        sys.exit(3)
 
 
 if __name__ == "__main__":
