@@ -29,6 +29,7 @@ def build_parallel_slam(
     estimator: str = "joint",
     graph_capacity: int = 64,
     axis: str = "data",
+    **step_kwargs,
 ):
     """Returns (parallel_step, init_states, shard) where
 
@@ -36,6 +37,11 @@ def build_parallel_slam(
       shaped (S, B, H, W) sharded over sequences S on ``axis``;
     * ``init_states()`` builds the stacked (S, ...) initial states;
     * ``shard(x)`` places an (S, ...) array with the right NamedSharding.
+
+    ``step_kwargs`` forward to :func:`build_slam_step` — the full
+    production configuration (``estimator="ba"``, ``ba_schedule="chunk"``,
+    ``pgo=True``, ...) runs per-sequence under the mesh; the pgo/taggraph
+    state is per-sequence, so data parallelism composes with it directly.
     """
     n_seq = mesh.shape[axis]
     step, init_one = build_slam_step(
@@ -43,6 +49,7 @@ def build_parallel_slam(
         detector_params=detector_params,
         estimator=estimator,
         graph_capacity=graph_capacity,
+        **step_kwargs,
     )
 
     def local(states, frames):

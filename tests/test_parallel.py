@@ -105,6 +105,57 @@ class TestParallelSequences:
         valid = np.asarray(outs.valid)
         assert valid.any(axis=1).all()
 
+    def test_production_composition_pgo_under_mesh(self):
+        """The full production step (chunk-scheduled BA + camera pose graph
+        + landmark pose graph, pgo=True) data-parallel over sequences —
+        the composition a pod run hits first (round-4 verdict weak #6).
+        Two chunks so the chunk-boundary solve path executes under the
+        mesh."""
+        from aprilslam_tpu.sim import SceneConfig, scene_tensors, render_frames, trajectory
+        from aprilslam_tpu.detect import DetectorParams
+
+        mesh = make_mesh(8, axis="data")
+        cfg = SceneConfig.from_file()
+        cam = PinholeCamera.from_fov(128, 128, cfg.fov_y)
+        scene = scene_tensors(cfg)
+
+        S, B = 8, 2
+        frames = []
+        for s in range(S):
+            tr = trajectory.scripted_line(
+                B, np.array([s * 0.5, 0, 24.0]), np.array([s * 0.5 + 2, 1, 17.0]))
+            frames.append(np.asarray(render_frames(
+                scene, jnp.asarray(tr.positions), jnp.asarray(tr.rotations),
+                jnp.asarray(cam.inv_matrix), 128, 128, 1)))
+        frames = jnp.asarray(np.stack(frames))
+
+        pstep, init_states, shard = build_parallel_slam(
+            mesh, cfg.family, cam, cfg.tag_size_inner,
+            detector_params=DetectorParams(quad_decimate=1, max_quads=16,
+                                           max_detections=8, max_clusters=64,
+                                           pts_per_quad=64, min_cluster_pts=8,
+                                           min_side=2.0),
+            estimator="ba",
+            graph_capacity=16,
+            ba_schedule="chunk",
+            ba_chunk_iters=2,
+            init_joint_iters=2,
+            pnp_iters=3,
+            pgo=True,
+            pgo_nodes=16,
+            pgo_edges=48,
+        )
+        states = init_states()
+        fr = shard(frames)
+        for _ in range(2):
+            states, outs = pstep(states, fr)
+        poses = np.asarray(outs.poses)
+        assert np.isfinite(poses).all()
+        assert (np.asarray(outs.n_nodes)[:, -1] >= 1).all()
+        # per-sequence pgo state advanced: frame counters hit 2 chunks * B
+        pgo_frames = np.asarray(states[2].frame)
+        assert (pgo_frames == 2 * B).all(), pgo_frames
+
 
 class TestShardOverflowWarning:
     def test_overflow_emits_warning(self, world):
