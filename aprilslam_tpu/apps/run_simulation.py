@@ -147,11 +147,17 @@ def main(argv=None) -> int:
     else:
         traj = trajectory.smooth_random_walk(n, seed=args.seed)
 
+    # Landmark capacity sized to the scene (slot = tag id): a 64-slot grid
+    # for a 5-tag scene made the taggraph/BA path ~90% padding work
+    # (round-5 probe). Rounded up to a multiple of 8, floor 16, so close
+    # scene variants share compiled programs.
+    cap = max(16, -(-(max(cfg.tag_ids()) + 2) // 8) * 8)
     slam = SlamSystem(
         cam, cfg.family, cfg.tag_size_inner,
         estimator=args.estimator,
         detector_params=DetectorParams(quad_decimate=args.decimate, min_cluster_pts=12),
         pgo=args.pgo,
+        graph_capacity=cap,
     )
 
     viz = None

@@ -2,6 +2,16 @@
 
 Tests must not depend on TPU hardware; multi-chip sharding paths are exercised
 on a virtual 8-device CPU mesh exactly as the driver's dryrun does.
+
+Runtime budget (round-5 policy): tests taking >~25 s are marked
+``@pytest.mark.slow``. The documented INNER-LOOP profile is
+
+    pytest tests/ -m "not slow" -n 2        # ~4:40 on this 2-core host
+
+(166 tests; ~6:15 serial). The FULL suite (181 tests, ~13-16 min serial)
+must stay green and is what CI-style runs use:
+
+    pytest tests/ -q
 """
 
 import os

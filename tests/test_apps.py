@@ -146,6 +146,7 @@ class TestVerifyCli:
 
 
 class TestRefineCli:
+    @pytest.mark.slow
     def test_demo_refine_and_roundtrip(self, tmp_path, capsys):
         from aprilslam_tpu.apps.refine_trajectory import main as refine_main
 
@@ -171,6 +172,7 @@ class TestRefineCli:
         rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rep2["cost_initial"] <= 1.05 * rep["cost_refined"]
 
+    @pytest.mark.slow
     def test_export_problem_then_refine(self, tmp_path, capsys):
         """Online run -> exported global-BA problem -> offline refine:
         the full online-to-offline workflow."""

@@ -41,6 +41,7 @@ def problem():
 
 
 class TestKeyframeShardedBA:
+    @pytest.mark.slow
     def test_multi_device_cost_parity_with_single_device(self, problem):
         prob, kf_gt, Kmat = problem
         K, M = prob.n_keyframes, prob.n_landmarks
@@ -104,6 +105,7 @@ class TestKeyframeShardedBA:
 
 
 class TestLongTrajectory:
+    @pytest.mark.slow
     def test_1k_keyframes_converges_sharded(self):
         # The scale target from the VERDICT: >=1k keyframes on the mesh.
         # The dead-reckoned init drifts ~10 units; the dominant error is a

@@ -105,6 +105,7 @@ class TestParallelSequences:
         valid = np.asarray(outs.valid)
         assert valid.any(axis=1).all()
 
+    @pytest.mark.slow
     def test_production_composition_pgo_under_mesh(self):
         """The full production step (chunk-scheduled BA + camera pose graph
         + landmark pose graph, pgo=True) data-parallel over sequences —

@@ -1,6 +1,7 @@
 """Pose graph optimization tests: drift correction around a loop."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -186,6 +187,7 @@ class TestLoopClosureEndToEnd:
     over host-to-host variation instead of hard-coding one host's noise.
     """
 
+    @pytest.mark.slow
     def test_loops_close_and_correct_map(self):
         import jax
         import jax.numpy as jnp

@@ -44,6 +44,7 @@ def service():
 
 
 class TestServe:
+    @pytest.mark.slow
     def test_ping_process_stats_reset(self, service):
         cfg, cam, dp, port, res, batch = service
         scene = scene_tensors(cfg)

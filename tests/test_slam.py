@@ -129,7 +129,11 @@ class TestGraph:
         assert not bool(valid)
 
 
-@pytest.mark.parametrize("estimator", ["chain_avg", "joint", "ba"])
+@pytest.mark.parametrize("estimator", [
+    pytest.param("chain_avg", marks=pytest.mark.slow),
+    pytest.param("joint", marks=pytest.mark.slow),
+    "ba",  # the production estimator stays in the inner loop
+])
 class TestEndToEndSlam:
     def test_closed_loop_ate(self, estimator):
         """Full loop on the default scene: render -> detect -> PnP -> graph ->
@@ -177,6 +181,7 @@ class TestBAChunkSchedule:
     """ba_schedule='chunk' hoists the LM-BA solve out of the per-frame scan
     (the TPU latency optimization); accuracy must stay in the same regime."""
 
+    @pytest.mark.slow
     def test_kf_cadence_turns_the_window_over(self):
         """kf_every > 0 makes the window genuinely fixed-lag: keyframes
         keep being adopted after the ring fills (without it, adoption
@@ -209,6 +214,7 @@ class TestBAChunkSchedule:
         assert ptrs[2] >= 24 // 2, ptrs
         assert ptrs[2] > ptrs[0], ptrs
 
+    @pytest.mark.slow
     def test_chunk_schedule_accuracy(self):
         cfg = SceneConfig.from_file()
         cam = PinholeCamera.from_fov(512, 512, cfg.fov_y)
@@ -246,6 +252,7 @@ class TestBAChunkSchedule:
         assert rmses["chunk"] < 0.6, rmses
         assert rmses["chunk"] < 2.0 * rmses["frame"] + 0.1, rmses
 
+    @pytest.mark.slow
     def test_chunk_schedule_supports_pgo(self):
         """Round-3 verdict missing #2: the production (chunk) schedule now
         carries PGO — minting in the scan, the solve at the chunk

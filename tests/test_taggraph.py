@@ -2,6 +2,7 @@
 solve convergence, and gauge behavior."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -39,6 +40,7 @@ def _observe(Tw, tags, rng, noise=0.005):
 
 
 class TestAccumulate:
+    @pytest.mark.slow
     def test_counts_and_mean(self, rng):
         M = 8
         Tw = _chain_world(3)
@@ -74,6 +76,7 @@ class TestAccumulate:
             jnp.asarray(np.ones_like(rel)))
         assert np.asarray(tg.count).sum() == 0
 
+    @pytest.mark.slow
     def test_outlier_rejected_after_reference(self, rng):
         """A wrong-planar-branch measurement (large deviation from the
         pair's reference) must not poison the running mean — even when the
