@@ -651,7 +651,12 @@ def main():
     elif on_cpu:
         candidates = [4]
     else:
-        candidates = [b for b in (16, 8, 32) if n_frames % b == 0] or [8]
+        # 32 is excluded by default: it measured the sweep loser in every
+        # round-5 run (352 vs 374/367) and its compile costs ~70 s of the
+        # extras budget. BENCH_SWEEP_BATCHES overrides.
+        cand_env = os.environ.get("BENCH_SWEEP_BATCHES", "16,8")
+        candidates = [b for b in (int(x) for x in cand_env.split(","))
+                      if n_frames % b == 0] or [8]
     sweep: dict[str, float] = {}
     compiled = {}
     compile_done_s = None
