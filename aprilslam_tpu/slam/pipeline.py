@@ -186,8 +186,13 @@ def build_slam_step(
             tg_i, ba_i = args
             Ml = ba_i.n_landmarks
             Kf = ba_i.n_keyframes
+            # Edge budget sized to the landmark capacity: top_k keeps the
+            # highest-count pairs anyway, so for small scenes (M=16 ->
+            # <=120 possible pairs, ~10 real) a 64-edge budget is exact
+            # and halves the LM solve's per-iteration edge math.
             new_lm, moved = taggraph_solve(
-                tg_i, ba_i.lm_pose, ba_i.lm_active, ba_i.anchor, hold=hold)
+                tg_i, ba_i.lm_pose, ba_i.lm_active, ba_i.anchor, hold=hold,
+                max_edges=min(128, max(16, (tg_i.capacity * tg_i.capacity) // 4)))
             eye4 = jnp.eye(4, dtype=ba_i.lm_pose.dtype)
             delta_lm = jnp.where(
                 (moved & movable)[:, None, None],

@@ -65,7 +65,7 @@ import sys
 import time
 
 _T0 = time.perf_counter()
-_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "360"))
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "460"))
 _PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_partial.json")
 
 def _orchestrate() -> int:
@@ -88,7 +88,7 @@ def _orchestrate() -> int:
     # print-first contract means a kill at any point keeps everything
     # already streamed — a longer deadline only lets more extras land.
     probe_s = float(os.environ.get("BENCH_TPU_PROBE_S", "90"))
-    deadline_s = float(os.environ.get("BENCH_TPU_DEADLINE_S", "420"))
+    deadline_s = float(os.environ.get("BENCH_TPU_DEADLINE_S", "580"))
 
     def child(device: str, timeout: float, fallback: str | None = None) -> tuple[int, bool]:
         """Run a measurement child, STREAMING its stdout through as lines
@@ -224,6 +224,24 @@ def _emit(result: dict) -> None:
             f.write(line + "\n")
     except OSError:
         pass
+
+
+def _cached_frames(key: str, render_fn):
+    """Disk-cache a rendered uint8 frame pool for a bench leg (the harness,
+    not the benchmark): ~30 s of render per leg otherwise repeats on every
+    invocation and crowds extras out of the budget."""
+    path = f"/tmp/aprilslam_bench_{key}.npy"
+    if os.path.exists(path):
+        try:
+            return np.load(path)
+        except Exception:  # noqa: BLE001 — cache is best-effort
+            pass
+    arr = render_fn()
+    try:
+        np.save(path, arr)
+    except OSError:
+        pass
+    return arr
 
 
 def _time_fn(fn, args, reps, warmup=2):
@@ -365,11 +383,19 @@ def bench_pgo_leg(base_cfg_raw, params, res, batch, graph_cap=16,
     pos = jnp.asarray(traj.positions)
     rot = jnp.asarray(traj.rotations)
     K_inv = jnp.asarray(cam.inv_matrix)
-    chunks = [
-        render_frames(scene, pos[i:i + batch], rot[i:i + batch], K_inv,
-                      res, res, 2)
-        for i in range(0, n_frames, batch)
-    ]
+
+    def render_all():
+        cs = [
+            jnp.clip(render_frames(scene, pos[i:i + batch], rot[i:i + batch],
+                                   K_inv, res, res, 2) * 255.0, 0, 255
+                     ).astype(jnp.uint8)
+            for i in range(0, n_frames, batch)
+        ]
+        jax.block_until_ready(cs)
+        return np.stack([np.asarray(c) for c in cs])
+
+    arr = _cached_frames(f"pgo_{res}_n{n_frames}_B{batch}_s7", render_all)
+    chunks = [jax.device_put(arr[i]) for i in range(arr.shape[0])]
     jax.block_until_ready(chunks)
 
     out = {"frames": n_frames, "trajectory": "two-lap loop",
@@ -428,15 +454,23 @@ def bench_multiseq_leg(cfg, params, res, n_seq=8, batch=8, graph_cap=16,
     scene = scene_tensors(cfg)
     K_inv = jnp.asarray(cam.inv_matrix)
     n_chunks = 2
-    chunks = []
-    for k in range(n_chunks):
-        per_seq = []
-        for s in range(n_seq):
-            traj = trajectory.monte_carlo(batch, seed=100 + 10 * s + k)
-            per_seq.append(render_frames(
-                scene, jnp.asarray(traj.positions), jnp.asarray(traj.rotations),
-                K_inv, res, res, 2))
-        chunks.append(jnp.stack(per_seq))
+
+    def render_all():
+        cs = []
+        for k in range(n_chunks):
+            per_seq = []
+            for s in range(n_seq):
+                traj = trajectory.monte_carlo(batch, seed=100 + 10 * s + k)
+                per_seq.append(jnp.clip(render_frames(
+                    scene, jnp.asarray(traj.positions),
+                    jnp.asarray(traj.rotations),
+                    K_inv, res, res, 2) * 255.0, 0, 255).astype(jnp.uint8))
+            cs.append(jnp.stack(per_seq))
+        jax.block_until_ready(cs)
+        return np.stack([np.asarray(c) for c in cs])
+
+    arr = _cached_frames(f"multiseq_{res}_S{n_seq}_B{batch}", render_all)
+    chunks = [jax.device_put(arr[k]) for k in range(n_chunks)]
     jax.block_until_ready(chunks)
 
     step, init = build_slam_step(
@@ -482,10 +516,14 @@ def bench_video_leg(cfg, tmpdir="/tmp"):
     scene = scene_tensors(cfg)
     way = np.array([[0.0, 0.0, 20.0], [8.0, 2.0, 5.0], [0.0, -2.0, 15.0]])
     traj = trajectory.scripted_waypoints(n_frames, way)
-    frames = np.asarray(render_frames(
-        scene, jnp.asarray(traj.positions), jnp.asarray(traj.rotations),
-        jnp.asarray(cam.inv_matrix), H, W, 2))
-    y = np.clip(frames * 255.0, 0, 255).astype(np.uint8)
+
+    def render_all():
+        frames = np.asarray(render_frames(
+            scene, jnp.asarray(traj.positions), jnp.asarray(traj.rotations),
+            jnp.asarray(cam.inv_matrix), H, W, 2))
+        return np.clip(frames * 255.0, 0, 255).astype(np.uint8)
+
+    y = _cached_frames(f"video_{W}x{H}_n{n_frames}", render_all)
     path = os.path.join(tmpdir, "bench_clip.y4m")
     with open(path, "wb") as f:
         f.write(f"YUV4MPEG2 W{W} H{H} F30:1 Cmono\n".encode())
@@ -653,8 +691,10 @@ def main():
     else:
         # 32 is excluded by default: it measured the sweep loser in every
         # round-5 run (352 vs 374/367) and its compile costs ~70 s of the
-        # extras budget. BENCH_SWEEP_BATCHES overrides.
-        cand_env = os.environ.get("BENCH_SWEEP_BATCHES", "16,8")
+        # extras budget. 8 runs first: it won every round-5 sweep and its
+        # program cache-hits in ~10 s where 16's takes ~65 s even warm.
+        # BENCH_SWEEP_BATCHES overrides.
+        cand_env = os.environ.get("BENCH_SWEEP_BATCHES", "8,16")
         candidates = [b for b in (int(x) for x in cand_env.split(","))
                       if n_frames % b == 0] or [8]
     sweep: dict[str, float] = {}
