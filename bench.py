@@ -65,7 +65,11 @@ import sys
 import time
 
 _T0 = time.perf_counter()
-_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "460"))
+# 500 s extras budget under the 580 s orchestrator deadline: each extras
+# leg self-gates on its own minimum remaining time before STARTING, so the
+# worst case is one leg (~70 s cold) running past the budget — still 10 s
+# inside the deadline, and every JSON line is already streamed by then.
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "500"))
 _PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_partial.json")
 
 def _orchestrate() -> int:
@@ -700,20 +704,34 @@ def main():
     sweep: dict[str, float] = {}
     compiled = {}
     compile_done_s = None
+    first_compile_cost = None
     for Bc in candidates:
         if compiled and _remaining() < 150.0:
             _log(f"sweep batch {Bc}: skipped (budget)")
+            continue
+        # Cold-cache degradation: a >45 s FIRST compile means the
+        # persistent cache is cold, so every further candidate costs
+        # ~70-85 s of real XLA work — spend that budget on landing the
+        # BASELINE extras legs instead (measured 2026-08-21: the cold
+        # batch-16 sweep compile alone pushed video+multiseq out of the
+        # artifact). Warm, the first program cache-hits in ~10 s and the
+        # full sweep proceeds as usual.
+        if compiled and first_compile_cost is not None and first_compile_cost > 45.0:
+            _log(f"sweep batch {Bc}: skipped (cold compile cache)")
             continue
         nB = n_frames // Bc
         chunks_c = [pool.reshape(nB, Bc, H, W)[i] for i in range(nB)]
         jax.block_until_ready(chunks_c)
         _log(f"sweep batch {Bc}: compiling")
+        _t_comp = time.perf_counter()
         step_c, init_c = make_step()
         st = init_c()
         st, o = step_c(st, chunks_c[0])
         jax.block_until_ready(o)
         if compile_done_s is None:
             compile_done_s = _elapsed()
+        if first_compile_cost is None:
+            first_compile_cost = time.perf_counter() - _t_comp
         reps = max(2, min(nB, 256 // Bc))
         t0 = time.perf_counter()
         for i in range(reps):
