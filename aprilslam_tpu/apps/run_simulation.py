@@ -174,7 +174,7 @@ def main(argv=None) -> int:
     ids = cfg.tag_ids()
     id_to_idx = {int(t): i for i, t in enumerate(ids)}
     tag_pos_np = np.asarray(cfg.tag_positions())
-    est_all, gt_all, valid_all = [], [], []
+    est_all, gt_all, valid_all, obs_all = [], [], [], []
 
     ckpt = None
     if args.checkpoint_dir:
@@ -238,6 +238,7 @@ def main(argv=None) -> int:
                     frame_aidx[b] = t_i
             est = np.asarray(outs.poses)
             valid = np.asarray(outs.valid)
+            obs = np.asarray(outs.pose_obs)
             nn = np.asarray(outs.n_nodes)
             ad = np.asarray(outs.avg_node_distance)
             rms = np.asarray(outs.reproj_rms)
@@ -252,6 +253,7 @@ def main(argv=None) -> int:
                                t=time.time() - t_start, reproj_rms=float(rms[b]))
                 est_all.append(est[b])
                 gt_all.append(gt[b])
+                obs_all.append(float(obs[b]))
                 # Per-visible-node error attribution (reference
                 # simulation_engine.py:302-356): GT camera->tag transform,
                 # GT tag->anchor distance, |est - GT| distance errors.
@@ -333,13 +335,20 @@ def main(argv=None) -> int:
                  f"({rep['translation_mm']['rmse']:.2f} mm); "
                  f"mean {rep['translation']['mean']:.4f} su; "
                  f"rotation mean {rep['rotation']['mean']:.5f}")
+        # Low-confidence poses: near-zero observability marks frames whose
+        # pose is weakly constrained (single frontal tag at distance) even
+        # when the reprojection rms looks perfect — see
+        # slam/localize.py:pose_observability.
+        n_weak = int(np.sum(np.asarray(obs_all) < 0.25)) if obs_all else 0
         log.info(f"Valid pose rate: {np.concatenate(valid_all).mean():.3f}; "
+                 f"low-confidence poses (pose_obs<0.25): {n_weak}/{len(obs_all)}; "
                  f"runtime {stats['runtime_seconds']:.1f}s; "
                  f"avg {stats['average_fps']:.2f} fps")
         summary = {
             "ate_rmse_su": round(rep["ate_rmse"], 4),
             "ate_rmse_mm": round(rep["translation_mm"]["rmse"], 2),
             "frames": len(est_all),
+            "low_confidence_frames": n_weak,
             "fps": round(stats["average_fps"], 2),
             "estimator": args.estimator,
         }

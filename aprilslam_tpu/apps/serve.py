@@ -191,6 +191,7 @@ def make_server(host, port, camera, family, tag_size, batch, res, channels,
                 valid = np.asarray(outs.valid)
                 coord = np.asarray(outs.coord_id)
                 nn = np.asarray(outs.n_nodes)
+                obs = np.asarray(outs.pose_obs)
                 dt = time.perf_counter() - t0
                 stats["requests"] += 1
                 stats["frames"] += batch
@@ -201,6 +202,10 @@ def make_server(host, port, camera, family, tag_size, batch, res, channels,
                 "valid": valid.tolist(),
                 "coord_id": coord.tolist(),
                 "n_nodes": nn.tolist(),
+                # Per-pose observability (sigma_min of the localization
+                # Jacobian): near-zero marks a pose the corners cannot
+                # constrain — clients should gate on it, not on rms.
+                "pose_obs": [round(float(v), 4) for v in obs],
                 "latency_ms": round(dt * 1e3, 2),
             }
 

@@ -22,7 +22,7 @@ from ..families import TagFamily
 from ..geometry import PinholeCamera, se3_inverse as _se3_inverse, undistort_pixels as _undistort_pixels
 from ..pose import poses_from_detections
 from .graph import GraphState, init_graph, update_graph, estimate_pose_average
-from .localize import joint_camera_pose
+from .localize import joint_camera_pose, pose_observability
 from .ba import BAState, ba_init, ba_add_frame, ba_optimize, latest_pose
 from .loop import (
     PgoState, pgo_init, pgo_track_frame, pgo_solve, apply_node_deltas,
@@ -38,8 +38,8 @@ Estimator = Literal["reference_chain", "chain_avg", "joint", "ba"]
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
-        "poses", "valid", "reproj_rms", "n_visible", "n_nodes", "avg_node_distance",
-        "coord_id", "loop_closures",
+        "poses", "valid", "reproj_rms", "pose_obs", "n_visible", "n_nodes",
+        "avg_node_distance", "coord_id", "loop_closures",
         "node_visible", "node_weight", "node_local", "node_world",
         "det_ids", "det_corners", "det_ok",
     ],
@@ -50,6 +50,14 @@ class SlamOutputs:
     poses: jax.Array  # (B, 4, 4) camera pose in world (anchor tag) frame
     valid: jax.Array  # (B,) bool
     reproj_rms: jax.Array  # (B,) joint-estimator reprojection rms (px); 0 otherwise
+    # Pose observability: smallest singular value of the frame's 6-dof
+    # localization Jacobian against the final map (px of corner motion per
+    # unit tangent step in the least-observable direction). Near zero for a
+    # single frontal distant tag, where the reprojection rms stays tiny
+    # while the pose is unconstrained along the tilt continuum — gate on
+    # this, not on rms (see slam/localize.py:pose_observability). 0 when
+    # no mapped landmark was used.
+    pose_obs: jax.Array  # (B,) float32
     n_visible: jax.Array  # (B,) visible mapped tags
     n_nodes: jax.Array  # (B,) graph size after the frame
     avg_node_distance: jax.Array  # (B,) parity with slam.py:65-80
@@ -440,6 +448,9 @@ def build_slam_step(
                 poses=pose,
                 valid=avg_valid,
                 reproj_rms=rms,
+                # Filled in by the post-scan batched observability pass
+                # (one vmapped jacfwd against the FINAL map — not scan work).
+                pose_obs=jnp.zeros((), jnp.float32),
                 n_visible=jnp.sum(graph.visible),
                 n_nodes=jnp.sum(graph.present),
                 avg_node_distance=average_distance_to_nodes(graph),
@@ -626,6 +637,34 @@ def build_slam_step(
             state = (graph, ba, pgo_s, tg)
         else:
             state = scan_state
+
+        # Per-frame pose observability against the FINAL map, batched over
+        # the chunk (one vmapped jacfwd — MXU work, not scan latency).
+        # Uses whichever map the estimator maintains: BA landmarks, else
+        # the chaining graph (whose world frame IS the coordinate frame,
+        # making T_wa the identity there).
+        if use_ba:
+            _ba_f = state[1]
+            world_f, active_f = _ba_f.lm_pose, _ba_f.lm_active
+        else:
+            world_f, active_f = state.world, state.present
+        Mf = world_f.shape[0]
+        eye4f = jnp.eye(4, dtype=world_f.dtype)
+
+        def frame_obs(ids_b, ok_b, corners_b, pose_b, coord_b, valid_b):
+            _, seen = scatter_frame(ids_b, ok_b, corners_b, Mf)
+            use_b = seen & active_f
+            c_slot = jnp.clip(coord_b, 0, Mf - 1)
+            frame_ok = (coord_b >= 0) & (coord_b < Mf) & active_f[c_slot]
+            T_wa = jnp.where(frame_ok, world_f[c_slot], eye4f)
+            s = pose_observability(world_f, use_b, K, tag_size, T_wa @ pose_b)
+            return jnp.where(valid_b & frame_ok & jnp.any(use_b), s, 0.0)
+
+        obs = jax.vmap(frame_obs)(
+            det.ids, ok_all, det.corners, outs.poses, outs.coord_id,
+            outs.valid,
+        )
+        outs = _replace(outs, pose_obs=obs)
         return state, outs
 
     def init():

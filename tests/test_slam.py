@@ -244,6 +244,11 @@ class TestBAChunkSchedule:
             est = np.asarray(outs.poses)
             valid = np.asarray(outs.valid)
             assert valid.sum() >= 10, (sched, valid)
+            # Observability is emitted for every valid frame under both
+            # schedules (computed post-scan against the final map).
+            obs = np.asarray(outs.pose_obs)
+            assert obs.shape == valid.shape and np.all(np.isfinite(obs))
+            assert np.all(obs[valid] > 0), (sched, obs)
             errs = np.linalg.norm(est[valid, :3, 3] - gt[valid, :3, 3], axis=-1)
             rmses[sched] = float(np.sqrt(np.mean(errs**2)))
         # Same regime: chunk-scheduled BA may be slightly looser within a
