@@ -102,6 +102,8 @@ def build_slam_step(
     pgo_loop_gap: int = 24,
     kf_every: int = 0,
     taggraph_every: int = 1,
+    pgo_opt_iters: int | None = None,
+    taggraph_iters: int | None = None,
 ):
     """Returns (slam_step, init_state) where
     ``slam_step(state, frames) -> (state, SlamOutputs)`` is jittable and
@@ -149,6 +151,17 @@ def build_slam_step(
     ba_per_frame = ba_schedule == "frame"
     if init_joint_iters is None:
         init_joint_iters = joint_iters
+    # Pose-graph LM depths: the chunk schedule re-solves every boundary
+    # WARM-STARTED from the previous solution with at most a few new
+    # edges, so shallow depths converge identically — measured on the
+    # BASELINE config-2 workload (tools/probe_pgo_iters.py, 2026-08-21):
+    # 4/3 keeps ATE bit-equal-or-better (0.6307 vs 0.6312) and lifts the
+    # pgo-on/off throughput ratio 0.867 -> 0.960. The frame schedule's
+    # inline solve keeps the cold-solve depths.
+    if pgo_opt_iters is None:
+        pgo_opt_iters = 10 if ba_per_frame else 4
+    if taggraph_iters is None:
+        taggraph_iters = 6 if ba_per_frame else 3
 
     def scatter_frame(ids, ok, corners, M):
         okm = ok & (ids >= 0) & (ids < M)
@@ -200,6 +213,7 @@ def build_slam_step(
             # and halves the LM solve's per-iteration edge math.
             new_lm, moved = taggraph_solve(
                 tg_i, ba_i.lm_pose, ba_i.lm_active, ba_i.anchor, hold=hold,
+                iters=taggraph_iters,
                 max_edges=min(128, max(16, (tg_i.capacity * tg_i.capacity) // 4)))
             eye4 = jnp.eye(4, dtype=ba_i.lm_pose.dtype)
             delta_lm = jnp.where(
@@ -420,6 +434,7 @@ def build_slam_step(
                         jnp.where(is_kf, kf_slot, ba.n_keyframes),
                         loop_gap=pgo_loop_gap,
                         solve=ba_per_frame,
+                        opt_iters=pgo_opt_iters,
                     )
                     if ba_per_frame:
                         ba = _replace(
@@ -558,7 +573,7 @@ def build_slam_step(
 
                 def _do_pgo(args):
                     ba_i, pgo_i = args
-                    pgo_o, delta, _closed = pgo_solve(pgo_i)
+                    pgo_o, delta, _closed = pgo_solve(pgo_i, opt_iters=pgo_opt_iters)
                     return _replace(
                         ba_i,
                         kf_pose=apply_node_deltas(delta, pgo_o.kf_node, ba_i.kf_pose),
@@ -709,6 +724,8 @@ class SlamSystem:
         init_joint_iters: int | None = None,
         kf_every: int = 0,
         taggraph_every: int = 1,
+        pgo_opt_iters: int | None = None,
+        taggraph_iters: int | None = None,
     ):
         self._step, self._init = build_slam_step(
             family, camera, tag_size,
@@ -725,6 +742,8 @@ class SlamSystem:
             init_joint_iters=init_joint_iters,
             kf_every=kf_every,
             taggraph_every=taggraph_every,
+            pgo_opt_iters=pgo_opt_iters,
+            taggraph_iters=taggraph_iters,
         )
         self._step = jax.jit(self._step)
         self.state = self._init()
