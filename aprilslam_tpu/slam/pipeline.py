@@ -38,8 +38,8 @@ Estimator = Literal["reference_chain", "chain_avg", "joint", "ba"]
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
-        "poses", "valid", "reproj_rms", "pose_obs", "n_visible", "n_nodes",
-        "avg_node_distance", "coord_id", "loop_closures",
+        "poses", "valid", "reproj_rms", "pose_obs", "loc_used", "n_visible",
+        "n_nodes", "avg_node_distance", "coord_id", "loop_closures",
         "node_visible", "node_weight", "node_local", "node_world",
         "det_ids", "det_corners", "det_ok",
     ],
@@ -56,8 +56,12 @@ class SlamOutputs:
     # single frontal distant tag, where the reprojection rms stays tiny
     # while the pose is unconstrained along the tilt continuum — gate on
     # this, not on rms (see slam/localize.py:pose_observability). 0 when
-    # no mapped landmark was used.
+    # no mapped landmark was used. Evaluated over loc_used — the landmark
+    # set the REPORTED pose was actually solved with — so a tag that was
+    # detected but not yet mapped at report time cannot inflate the
+    # confidence of a pose that never used it.
     pose_obs: jax.Array  # (B,) float32
+    loc_used: jax.Array  # (B, M) bool: landmarks the reported localization used
     n_visible: jax.Array  # (B,) visible mapped tags
     n_nodes: jax.Array  # (B,) graph size after the frame
     avg_node_distance: jax.Array  # (B,) parity with slam.py:65-80
@@ -276,9 +280,14 @@ def build_slam_step(
             # 0-255 integers for uint8 camera frames (the serve/bench path).
             rms = jnp.zeros((), jnp.float32)
             pose = avg_T
+            # Landmarks the REPORTED pose is solved with (the pose_obs
+            # evaluation set): chain estimators average over the visible
+            # nodes; the joint/BA branches overwrite with their GN mask.
+            loc_used = graph.visible
             if estimator == "joint":
                 corn_m, seen = scatter_frame(ids, ok, corners, M)
                 use = seen & graph.present
+                loc_used = use
                 T_wc, rms = joint_camera_pose(
                     graph.world, use, corn_m, K, tag_size, avg_T, iters=joint_iters
                 )
@@ -394,6 +403,7 @@ def build_slam_step(
                 # coordinate tag when ids arrive out of order; reporting
                 # relative to it shifts every pose by the inter-tag offset.
                 use = seen & ba.lm_active
+                loc_used = use
                 if ba_per_frame:
                     pose_w, rms = localize(ba.lm_pose, use, T_init, T_wc0b, joint_iters)
                 else:
@@ -466,6 +476,7 @@ def build_slam_step(
                 # Filled in by the post-scan batched observability pass
                 # (one vmapped jacfwd against the FINAL map — not scan work).
                 pose_obs=jnp.zeros((), jnp.float32),
+                loc_used=loc_used,
                 n_visible=jnp.sum(graph.visible),
                 n_nodes=jnp.sum(graph.present),
                 avg_node_distance=average_distance_to_nodes(graph),
@@ -666,18 +677,27 @@ def build_slam_step(
         Mf = world_f.shape[0]
         eye4f = jnp.eye(4, dtype=world_f.dtype)
 
-        def frame_obs(ids_b, ok_b, corners_b, pose_b, coord_b, valid_b):
-            _, seen = scatter_frame(ids_b, ok_b, corners_b, Mf)
-            use_b = seen & active_f
+        def frame_obs(ids_b, ok_b, corners_b, pose_b, coord_b, valid_b, used_b):
             c_slot = jnp.clip(coord_b, 0, Mf - 1)
             frame_ok = (coord_b >= 0) & (coord_b < Mf) & active_f[c_slot]
+            if use_ba and not ba_per_frame:
+                # The chunk schedule's reloc pass re-solved the reported
+                # pose against the FINAL map; mirror its keep-mask so the
+                # evaluation set matches the pose actually returned (and
+                # falls back to the in-scan set exactly when reloc did).
+                _, seen = scatter_frame(ids_b, ok_b, corners_b, Mf)
+                use_full = seen & active_f
+                keep = valid_b & frame_ok & jnp.any(use_full)
+                use_b = jnp.where(keep, use_full, used_b)
+            else:
+                use_b = used_b
             T_wa = jnp.where(frame_ok, world_f[c_slot], eye4f)
             s = pose_observability(world_f, use_b, K, tag_size, T_wa @ pose_b)
             return jnp.where(valid_b & frame_ok & jnp.any(use_b), s, 0.0)
 
         obs = jax.vmap(frame_obs)(
             det.ids, ok_all, det.corners, outs.poses, outs.coord_id,
-            outs.valid,
+            outs.valid, outs.loc_used,
         )
         outs = _replace(outs, pose_obs=obs)
         return state, outs

@@ -334,7 +334,9 @@ def _ate_eval(cfg, pos, rot, all_outs):
     """ATE vs analytic GT, each frame in ITS OWN coordinate frame (the
     anchor is the lowest id seen so far and can change mid-run).
 
-    Returns (ate_rmse, valid_rate, n_invalid)."""
+    Returns (ate_rmse, valid_rate, n_invalid, confidence_split) where
+    confidence_split is None or a dict with the sigma_min-gated ATE,
+    its coverage fraction, and the threshold used."""
     import jax.numpy as jnp
 
     from aprilslam_tpu.sim import camera_in_tag_frames

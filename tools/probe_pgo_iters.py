@@ -39,7 +39,6 @@ print("device:", jax.devices()[0])
 res, batch = 1000, 8
 params = DetectorParams(quad_decimate=2, min_cluster_pts=12,
                         max_detections=16, max_boundary=8192)
-base_raw = SceneConfig.from_file(DEFAULT_SCENE).raw if hasattr(SceneConfig, "raw") else None
 import json
 base_raw = json.load(open(DEFAULT_SCENE))
 cfg = SceneConfig.from_dict(randomize_scene(base_raw, 0.1, seed=7))

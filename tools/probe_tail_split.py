@@ -24,9 +24,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from aprilslam_tpu.geometry import (
-    PinholeCamera, se3_inverse, tag_object_corners,
-)
+from aprilslam_tpu.geometry import PinholeCamera, se3_inverse
 from aprilslam_tpu.sim import (
     SceneConfig, trajectory, camera_in_tag_frames,
 )
@@ -88,25 +86,26 @@ gt_all = np.asarray(camera_in_tag_frames(
 # inv(T_w_tagA) @ T_w_tagB in the CV-flipped frame. The pipeline's
 # landmark world frame equals the coordinate tag's frame by construction
 # (anchor = lowest id, identity pose).
-try:
-    from aprilslam_tpu.slam.graph import relative_tag_poses_gt  # noqa: E402
-
-    T_rel = np.asarray(relative_tag_poses_gt(cfg))  # (T, 4, 4): tag in coord frame
-except Exception:
-    # Fallback: derive from camera_in_tag_frames by composing through a
-    # virtual camera: T_a_b = T_a_cam @ inv(T_b_cam) for any camera pose.
-    cam1 = camera_in_tag_frames(
-        jnp.asarray(cfg.tag_positions()), jnp.asarray(cfg.tag_rotations()),
-        pos[:1], rot[:1])  # (1, T, 4, 4) camera pose in each tag frame
-    c = np.asarray(cam1)[0]
-    T_rel = np.einsum("ij,tjk->tik", c[0], np.linalg.inv(c))
-    T_rel = np.linalg.inv(T_rel)  # tag t in tag0 frame
+# GT relative tag poses, derived from camera_in_tag_frames by composing
+# through a virtual camera: with c[t] = camera pose in tag t's frame,
+# T_tag0_tagt = c[0] @ inv(c[t]) places tag t in tag 0's frame (verified:
+# a tag at GL x=+10 lands at +10 in tag0's frame — an earlier version of
+# this probe had a spurious extra inverse here, which mirrored the map
+# and invalidated the whole GT arm).
+cam1 = camera_in_tag_frames(
+    jnp.asarray(cfg.tag_positions()), jnp.asarray(cfg.tag_rotations()),
+    pos[:1], rot[:1])  # (1, T, 4, 4) camera pose in each tag frame
+c = np.asarray(cam1)[0]
+T_rel = np.einsum("ij,tjk->tik", c[0], np.linalg.inv(c))
 
 gt_map = np.tile(np.eye(4, dtype=np.float32), (Ml, 1, 1))
+gt_slot_ok = np.zeros(Ml, bool)
 for i, t in enumerate(ids_gt):
     if int(t) < Ml:
         gt_map[int(t)] = T_rel[i]
+        gt_slot_ok[int(t)] = True
 gt_map = jnp.asarray(gt_map)
+gt_slot_ok = jnp.asarray(gt_slot_ok)
 
 
 def scatter_frame(ids, ok, corners, M):
@@ -118,26 +117,14 @@ def scatter_frame(ids, ok, corners, M):
     return corn_m, seen
 
 
+from aprilslam_tpu.slam.localize import pose_observability  # noqa: E402
+
+
 def info_sigma_min(world, use, T_wc):
-    """Smallest singular value of the 6-dof GN Jacobian at the solution."""
-    obj = tag_object_corners(tag_size)
-    Xw = jnp.einsum("mij,cj->mci", world[:, :3, :3], obj) + world[:, None, :3, 3]
-    wmask = use.astype(jnp.float32)[:, None]
-    T_cw = se3_inverse(T_wc)
-
-    def res_at(xi):
-        from aprilslam_tpu.geometry import se3_exp
-        T = se3_exp(xi) @ T_cw
-        Xc = jnp.einsum("ij,mcj->mci", T[:3, :3], Xw) + T[:3, 3]
-        z = jnp.where(jnp.abs(Xc[..., 2:3]) < 1e-6, 1e-6, Xc[..., 2:3])
-        xy = Xc[..., :2] / z
-        uv = jnp.stack([K[0, 0] * xy[..., 0] + K[0, 2],
-                        K[1, 1] * xy[..., 1] + K[1, 2]], axis=-1)
-        return (uv * wmask[..., None]).reshape(-1)
-
-    J = jax.jacfwd(res_at)(jnp.zeros(6, dtype=jnp.float32))
-    s = jnp.linalg.svd(J, compute_uv=False)
-    return s[-1]
+    """Smallest singular value of the 6-dof GN Jacobian at the solution
+    (the production pose_obs signal — call the shared implementation so
+    the probe validates exactly what the pipeline ships)."""
+    return pose_observability(world, use, K, tag_size, T_wc)
 
 
 @jax.jit
@@ -151,11 +138,15 @@ def eval_frame(ids_b, ok_b, corners_b, pose_b, coord_b):
     T_e, r_e = joint_camera_pose(lm_pose, use_e, corn_m, K, tag_size, T0, iters=8)
     smin_e = info_sigma_min(lm_pose, use_e, T_e)
     T_e_coord = se3_inverse(T_wa) @ T_e
-    # (b) GT map (coordinate frame IS its world)
-    use_g = seen
-    T_g, r_g = joint_camera_pose(gt_map, use_g, corn_m, K, tag_size, pose_b, iters=8)
+    # (b) GT map, whose world frame is tag ids_gt[0]'s frame: init from
+    # the reported pose converted coord->tag0, and convert the solution
+    # back to the per-frame coordinate frame for the GT comparison.
+    use_g = seen & gt_slot_ok
+    T0_g = gt_map[c_slot] @ pose_b
+    T_g, r_g = joint_camera_pose(gt_map, use_g, corn_m, K, tag_size, T0_g, iters=8)
     smin_g = info_sigma_min(gt_map, use_g, T_g)
-    return T_e_coord, r_e, smin_e, T_g, r_g, smin_g
+    T_g_coord = se3_inverse(gt_map[c_slot]) @ T_g
+    return T_e_coord, r_e, smin_e, T_g_coord, r_g, smin_g
 
 
 id_to_idx = {int(t): i for i, t in enumerate(ids_gt)}
