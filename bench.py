@@ -815,7 +815,11 @@ def main():
         "frames_timed": frames_timed,
         "frames_distinct": n_frames,
         "graph_capacity": graph_cap,
+        # compile_s is wall-clock ELAPSED at first-compile-done (includes
+        # imports + pool load, so a slow tunnel inflates it);
+        # compile_first_program_s times just the first jit(step) call.
         "compile_s": round(compile_done_s or 0.0, 1),
+        "compile_first_program_s": round(first_compile_cost or 0.0, 1),
         "device": str(jax.devices()[0]),
         **({"device_fallback": os.environ["BENCH_FALLBACK"]}
            if os.environ.get("BENCH_FALLBACK") else {}),
